@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant is expressed as
+  * per-row signature computation (embarrassingly parallel, inside
+  * codegen) followed by an equi-join on a compact blocking key — never a
+  * full cross join. MinHash banding makes the candidate join an
+  * equi-shuffle on (band, signature); candidate verification touches
+  * only the surviving pairs. Exact dedup is a hash aggregate on a
+  * 16-byte key. All hash functions are md5-derived so the DuckDB oracle
+  * replays them bit-for-bit.
+  */
+object Dedup extends QueryModule {
+
+  /** Non-empty word tokens. */
+  private def words: Column = filter(split(col("text"), " ", -1), t => t =!= "")
+
+  /** Word 3-gram shingles; whole text when <3 tokens. */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array(concat_ws(" ", w)))
+
+  /** MinHash_k = min over shingles of md5("k|" + shingle). String-min on
+    * lowercase hex == numeric min on the 128-bit hash value.
+    */
+  private def minhash(sh: Column, k: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$k|"), x))))
+
+  private val NumHashes = 8
+  private val Bands = 4 // 2 hashes per band
+
+  /** Exact dedup: md5 over canonicalized text, keep the smallest doc_id
+    * per group. One hash-aggregate shuffle on a 16-byte key; at 100 TB
+    * the partial aggregate already collapses per-partition duplicates.
+    */
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fingerprint")
+
+  /** MinHash + LSH banded near-dup: shingle → 8 minhashes → 4 bands of
+    * 2 → candidate pairs from band-equality self-join → verify exact
+    * shingle-set Jaccard on candidates only.
+    *
+    * The self-join is an equi-join on (band_idx, band_val): Spark
+    * shuffles both sides on that composite key, so cost scales with
+    * bucket sizes, not n². Verification re-joins the shingle arrays by
+    * doc_id (two more equi-shuffles) — at scale persist the signature
+    * table instead of recomputing.
+    */
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val sig = docs.select(
+      col("doc_id"),
+      shingles(words).as("sh"))
+    val withHashes = sig.select(
+      col("doc_id") +: col("sh") +:
+        (0 until NumHashes).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+    val bands = withHashes.select(
+      col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band_idx"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("n_union", size(array_union(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (16-bit, md5-nibble hyperplanes): per token, each hex digit
+    * of md5 votes ±1 on one bit; the sign of the per-document vote sum
+    * sets the bit. Near-dups share most bits. One explode + one
+    * hash-aggregate on doc_id — linear, no joins.
+    */
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val tok = Tables(s, dir).documents
+      .select(col("doc_id"), explode(words).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = tok.groupBy("doc_id").agg(
+      sum(when(substring(col("h"), 1, 1).isin(highNibble: _*), 1).otherwise(-1)).as("s0"),
+      (1 until 16).map(i =>
+        sum(when(substring(col("h"), i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)).as(s"s$i")): _*)
+    val simhash = (0 until 16)
+      .map(i => when(col(s"s$i") >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.cast("int").as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard with attribute blocking (same lang): candidate pairs
+    * from an equi-join on the blocking key, exact integer Jaccard filter
+    * (5·|∩| ≥ |∪| ⇔ J ≥ 0.2 — no float threshold). At scale, blocking
+    * keys come from LSH (above); this is the verify kernel.
+    */
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), shingles(words).as("sh"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, Seq("lang"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("n_union", size(array_union(col("sha"), col("shb"))))
+      .where(col("n_common") * 5 >= col("n_union"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding cosine near-dup, blocked by label. The dot product is a
+    * left fold in double precision — bit-identical in Spark and DuckDB
+    * (same operand casts, same association). Threshold applies to the
+    * rounded value so the comparison is engine-stable.
+    */
+  def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6))
+      .where(col("cosine") >= 0.35)
+      .select("label", "vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_embed_near" -> (ddEmbedNear _),
+  )
+
+  // ---- oracle SQL (DuckDB) ----
+
+  private val shingleCte =
+    """WITH w AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(w) >= 3
+      |         THEN list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |         ELSE [array_to_string(w, ' ')] END AS sh
+      |  FROM w
+      |)""".stripMargin
+
+  private val simhashSums = (0 until 16).map(i =>
+    s"sum(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i")
+    .mkString(",\n    ")
+  private val simhashBits = (0 until 16).map(i =>
+    s"CASE WHEN s$i >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+
+  private val minhashSelect = (0 until NumHashes).map(k =>
+    s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS mh$k").mkString(",\n    ")
+  private val bandSelects = (0 until Bands).map(b =>
+    s"SELECT doc_id, $b AS band_idx, mh${2 * b} || mh${2 * b + 1} AS band_val FROM sig")
+    .mkString("\n  UNION ALL\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""$shingleCte, sig AS (
+         |  SELECT doc_id, sh,
+         |    $minhashSelect
+         |  FROM s
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS INTEGER) AS n_common,
+         |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS INTEGER) AS n_union,
+         |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = doc_a
+         |JOIN sig sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+         |  FROM documents
+         |), h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $simhashSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashBits AS INTEGER) AS simhash16
+         |FROM sums ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""$shingleCte
+         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_common,
+         |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INTEGER) AS n_union,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh)))
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_near" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, len(a.embedding) + 1),
+        |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(range(1, len(a.embedding) + 1),
+        |             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)), (x, y) -> x + y))
+        |        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |            list_transform(range(1, len(b.embedding) + 1),
+        |              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)))
+        |    , 6) AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, vec_a, vec_b, cosine FROM p
+        |WHERE cosine >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

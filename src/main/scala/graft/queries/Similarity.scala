@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths:
+  *   - brute force: exact top-k for a bounded query set — the baseline
+  *     and the verify oracle for any ANN index;
+  *   - IVF-style sign buckets: a coarse quantizer (sign pattern of the
+  *     leading dimensions) partitions vectors into 2^B cells; the search
+  *     joins query to its own cell only. At 100 TB the cell id is the
+  *     shuffle/bucketing key: candidate generation becomes an equi-join
+  *     whose cost is Σ|cell|² instead of n², and cells are scanned in
+  *     parallel. (Real IVF uses k-means centroids; the sign quantizer
+  *     keeps the oracle exactly replayable while exercising the same
+  *     plan shape.)
+  *
+  * Dot products are left folds in double precision — bit-identical
+  * between Spark and the DuckDB oracle, so ranking (incl. the top-k
+  * cut) is engine-stable; cosine is additionally rounded for output.
+  */
+object Similarity extends QueryModule {
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val BucketDims = 4
+
+  private def signBucket(e: Column): Column =
+    concat((1 to BucketDims).map(i =>
+      when(element_at(e, i) >= 0f, "+").otherwise("-")): _*)
+
+  /** Exact top-5 cosine neighbors for query vectors (vec_id < 5), brute
+    * force over all vectors. The per-query top-k is a rank-truncated
+    * window (WindowGroupLimit keeps 5 rows per partition before the
+    * sort at scale).
+    */
+  def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val c = e.select(col("vec_id"), col("embedding").as("ec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_exact").desc, col("vec_id"))
+    q.join(c, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_exact", cosine(col("eq"), col("ec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos_exact"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style bucketed ANN: search only within the query's sign cell.
+    * Top-3 per query for queries vec_id < 20.
+    */
+  def simIvfBucket(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("cell"))
+    val q = e.where(col("vec_id") < 20)
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val c = e.select(col("cell"), col("vec_id"), col("embedding").as("ec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_exact").desc, col("vec_id"))
+    q.join(c, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_exact", cosine(col("eq"), col("ec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
+        round(col("cos_exact"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> (simTopkBrute _),
+    "sim_ivf_bucket" -> (simIvfBucket _),
+  )
+
+  private val dotSql =
+    (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+         |      (x, y) -> x + y)""".stripMargin
+
+  private val cosineSql =
+    s"""${dotSql("eq", "ec")}
+       |    / (sqrt(${dotSql("eq", "eq")}) * sqrt(${dotSql("ec", "ec")}))""".stripMargin
+
+  private val cellSql = (e: String) => (1 to BucketDims).map(i =>
+    s"CASE WHEN $e[$i] >= 0 THEN '+' ELSE '-' END").mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ec FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    $cosineSql AS cos_exact
+         |  FROM q JOIN c ON query_id <> vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_bucket" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${cellSql("embedding")} AS cell
+         |  FROM embeddings),
+         |q AS (SELECT cell, vec_id AS query_id, embedding AS eq FROM e WHERE vec_id < 20),
+         |c AS (SELECT cell, vec_id, embedding AS ec FROM e),
+         |scored AS (
+         |  SELECT query_id, q.cell AS cell, vec_id,
+         |    $cosineSql AS cos_exact
+         |  FROM q JOIN c ON q.cell = c.cell WHERE query_id <> vec_id),
+         |ranked AS (
+         |  SELECT query_id, cell, vec_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, cell, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * per-document statistics, language ID (stopword heuristic), quality
+  * scoring, regex token counting, and content fingerprinting.
+  *
+  * All are single-pass, per-row expression pipelines (no shuffle except
+  * the final aggregates) — at 100 TB they stream through the scan at IO
+  * speed inside whole-stage codegen; only tfidf/confusion aggregates
+  * exchange data, keyed on low-cardinality or per-doc keys.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por"))
+
+  private def toks: Column = split(col("text"), " ", -1)
+
+  /** Per-document size/shape statistics. Integer-exact everywhere except
+    * the final division (exact operands → deterministic double).
+    */
+  def taDocStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(filter(toks, t => t =!= "")).as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_letters"))
+      .withColumn("avg_token_len",
+        round(col("n_letters").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+
+  /** Language ID via stopword hit counts, reported as a confusion matrix
+    * against the labeled `lang` column. Deterministic argmax (priority
+    * order breaks ties); "und" when no list matches.
+    */
+  def taLangId(s: SparkSession, dir: String): DataFrame = {
+    def score(lang: String): Column =
+      size(filter(toks, t => t.isin(stopwords(lang).map(x => x: Any): _*)))
+        .as(s"s_$lang")
+    val scored = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), score("en"), score("de"), score("fr"), score("es"))
+    val pred = when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
+      .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+      .when(col("s_fr") >= col("s_es"), "fr")
+      .otherwise("es")
+    scored.withColumn("pred_lang", pred)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Quality score: blend of length saturation and lexical diversity —
+    * the standard cheap pre-filter before expensive dedup/training.
+    */
+  def taQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(filter(toks, t => t =!= "")).as("n_tokens"),
+        size(array_distinct(filter(toks, t => t =!= ""))).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+          + lit(0.5) * (col("n_distinct").cast("double") / col("n_tokens")), 6))
+      .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio", "quality")
+      .orderBy("doc_id")
+
+  /** Token counting with a BPE-ish regex split: alpha runs, digit runs,
+    * and single non-alphanumeric marks counted separately.
+    */
+  def taTokenRegex(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_mark"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 over whitespace-canonicalized lowercase
+    * text — the exact-dedup key. (The rolling-hash shingle variant lives
+    * in [[Dedup]] as minhash input.)
+    */
+  def taFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Top TF-IDF term per document (rational idf N/df — no transcendental
+    * functions, so engine-exact). Two shuffles: df per term, then the
+    * per-doc window; both keyed on high-cardinality columns that
+    * partition evenly.
+    */
+  def taTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val terms = docs
+      .select(col("doc_id"), explode(filter(toks, t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df_count"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    terms.join(df, "term").join(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * col("n_docs") / col("df_count"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "term", "tf", "tfidf")
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_doc_stats" -> (taDocStats _),
+    "ta_lang_id" -> (taLangId _),
+    "ta_quality" -> (taQuality _),
+    "ta_token_regex" -> (taTokenRegex _),
+    "ta_fingerprint" -> (taFingerprint _),
+    "ta_tfidf_top" -> (taTfidfTop _),
+  )
+
+  private def inList(lang: String): String =
+    stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "ta_doc_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS n_tokens,
+        | CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_letters,
+        | round(length(replace(text, ' ', ''))::DOUBLE
+        |   / len(list_filter(string_split(text, ' '), t -> t <> '')), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ${inList("en")})) AS s_en,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ${inList("de")})) AS s_de,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ${inList("fr")})) AS s_fr,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ${inList("es")})) AS s_es
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM scored)
+         |SELECT lang, pred_lang, count(*) AS n_docs FROM pred
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "ta_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+        | round(0.5::DOUBLE * least(1.0::DOUBLE, n_tokens::DOUBLE / 50.0::DOUBLE)
+        |   + 0.5::DOUBLE * (n_distinct::DOUBLE / n_tokens), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "ta_token_regex" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+        | CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS n_mark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_tfidf_top" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df_count FROM terms GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf::DOUBLE * n.n_docs / df.df_count, 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+  )
+}
