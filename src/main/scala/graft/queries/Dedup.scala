@@ -23,12 +23,32 @@ object Dedup extends QueryModule {
   /** Non-empty word tokens. */
   private def words: Column = filter(split(col("text"), " ", -1), t => t =!= "")
 
-  /** Word 3-gram shingles; whole text when <3 tokens. */
-  private def shingles(w: Column): Column =
-    when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+  /** Word 3-gram shingles; whole text when <3 tokens.
+    *
+    * Built from zip_with over shifted slices, NOT
+    * `transform(sequence(...), i => element_at(w, i))`: higher-order
+    * lambdas are interpreted per element and Catalyst's CollapseProject
+    * freely re-inlines `w`'s defining expression into every use, so an
+    * element_at(w, i) lambda re-splits the text once per shingle —
+    * O(tokens²) per row (observed 10× slowdown at sf0.1). zip_with's
+    * lambda only touches its lambda variables; the (inlined) array
+    * inputs are evaluated once per row, keeping the whole thing O(tokens).
+    * Entries past n−2 come out null (zip_with pads, concat propagates
+    * null) and are sliced off.
+    */
+  private def shingles(w: Column): Column = {
+    val n = size(w)
+    val ab = zip_with(w, slice(w, lit(2), n - 1), (a, b) => concat(a, lit(" "), b))
+    val abc = zip_with(ab, slice(w, lit(3), n - 2), (x, c) => concat(x, lit(" "), c))
+    when(n >= 3, slice(abc, lit(1), n - 2))
       .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** documents staged to (doc_id, lang, sh). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), words.as("w"))
+      .select(col("doc_id"), col("lang"), shingles(col("w")).as("sh"))
 
   /** MinHash_k = min over shingles of md5("k|" + shingle). String-min on
     * lowercase hex == numeric min on the 128-bit hash value.
@@ -60,10 +80,7 @@ object Dedup extends QueryModule {
     * table instead of recomputing.
     */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documents
-    val sig = docs.select(
-      col("doc_id"),
-      shingles(words).as("sh"))
+    val sig = shingled(s, dir).select(col("doc_id"), col("sh"))
     val withHashes = sig.select(
       col("doc_id") +: col("sh") +:
         (0 until NumHashes).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
@@ -110,20 +127,36 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** n-gram Jaccard with attribute blocking (same lang): candidate pairs
-    * from an equi-join on the blocking key, exact integer Jaccard filter
-    * (5·|∩| ≥ |∪| ⇔ J ≥ 0.2 — no float threshold). At scale, blocking
-    * keys come from LSH (above); this is the verify kernel.
+  /** n-gram Jaccard near-dup via an inverted shingle index.
+    *
+    * The naive formulation — self-join documents on the blocking key and
+    * intersect shingle arrays — is O(pairs-in-block) and dies at scale
+    * (1000 docs/lang ⇒ 500k array intersections per block; 100 TB ⇒
+    * never finishes). Instead: explode each doc's DISTINCT shingles,
+    * equi-join the postings on (lang, shingle), and count hits per
+    * (doc_a, doc_b) — cost is Σ_shingle |postings|², i.e. proportional
+    * to genuinely-shared content, and it's all hash shuffles on
+    * high-cardinality keys. |∪| falls out of the sizes:
+    * |A∪B| = |A| + |B| − |A∩B|. Pairs with no shared shingle can never
+    * reach J ≥ 0.2, so skipping them is semantics-preserving. At 100 TB
+    * the one skew risk is a super-frequent shingle (boilerplate); the
+    * standard mitigation — drop postings longer than a cap before the
+    * join — plugs in as one extra filter on the grouped index.
     */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir).documents
-      .select(col("doc_id"), col("lang"), shingles(words).as("sh"))
-    val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("shb"))
-    a.join(b, Seq("lang"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("n_union", size(array_union(col("sha"), col("shb"))))
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), col("lang"), array_distinct(col("sh")).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val postings = sh.select(col("lang"), col("doc_id"), explode(col("sh")).as("shingle"))
+    val common = postings.as("x").join(postings.as("y"),
+        col("x.lang") === col("y.lang") && col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_common"))
       .where(col("n_common") * 5 >= col("n_union"))
       .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
         round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
@@ -136,17 +169,23 @@ object Dedup extends QueryModule {
     * rounded value so the comparison is engine-stable.
     */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).embeddings
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // Norms are computed once per VECTOR before the join (n rows), not
+    // once per PAIR after it (n²/blocks rows) — the arithmetic
+    // (sqrt(dot(e,e))) is identical so results are bit-equal, but the
+    // per-pair work drops from 3 interpreted array folds to 1.
+    val e = Tables(s, dir).embeddings
+      .select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, Seq("label"))
       .where(col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        round(dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6))
+      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .where(col("cosine") >= 0.35)
       .select("label", "vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")

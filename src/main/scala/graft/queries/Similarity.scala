@@ -32,14 +32,21 @@ object Similarity extends QueryModule {
     aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
   private val BucketDims = 4
 
   private def signBucket(e: Column): Column =
     concat((1 to BucketDims).map(i =>
       when(element_at(e, i) >= 0f, "+").otherwise("-")): _*)
+
+  /** embeddings staged with a precomputed norm column: one array fold per
+    * vector before the join instead of two extra folds per candidate
+    * pair after it. cosine = dot/(norm_q·norm_c) is the same double
+    * arithmetic as dot/(sqrt(dot)·sqrt(dot)) — bit-equal to the oracle.
+    */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
 
   /** Exact top-5 cosine neighbors for query vectors (vec_id < 5), brute
     * force over all vectors. The per-query top-k is a rank-truncated
@@ -47,14 +54,14 @@ object Similarity extends QueryModule {
     * sort at scale).
     */
   def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).embeddings
+    val e = normed(s, dir)
     val q = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
-    val c = e.select(col("vec_id"), col("embedding").as("ec"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("norm").as("nq"))
+    val c = e.select(col("vec_id"), col("embedding").as("ec"), col("norm").as("nc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_exact").desc, col("vec_id"))
     q.join(c, col("query_id") =!= col("vec_id"))
-      .withColumn("cos_exact", cosine(col("eq"), col("ec")))
+      .withColumn("cos_exact", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"),
@@ -66,16 +73,18 @@ object Similarity extends QueryModule {
     * Top-3 per query for queries vec_id < 20.
     */
   def simIvfBucket(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).embeddings
-      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("cell"))
+    val e = normed(s, dir)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        signBucket(col("embedding")).as("cell"))
     val q = e.where(col("vec_id") < 20)
-      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("eq"))
-    val c = e.select(col("cell"), col("vec_id"), col("embedding").as("ec"))
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("eq"), col("norm").as("nq"))
+    val c = e.select(col("cell"), col("vec_id"), col("embedding").as("ec"), col("norm").as("nc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_exact").desc, col("vec_id"))
     q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("cos_exact", cosine(col("eq"), col("ec")))
+      .withColumn("cos_exact", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
