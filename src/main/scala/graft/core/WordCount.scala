@@ -55,13 +55,20 @@ object WordCount {
     lines.select(explode(split(col("value"), " ", -1)).as("tok"))
 
   /** Normalize, as a Catalyst column expression (`normalizeWord`,
-    * `mpi_mapreduce.c:133-161`): lowercase; if the token has at least one
-    * alpha byte, strip leading/trailing non-alpha runs; an all-non-alpha
-    * token (`...`, `1871`) is kept verbatim. Built-ins only → stays
-    * inside whole-stage codegen.
+    * `mpi_mapreduce.c:133-161`): ASCII-only lowercase; if the token has
+    * at least one alpha byte, strip leading/trailing non-alpha runs; an
+    * all-non-alpha token (`...`, `1871`) is kept verbatim. Built-ins
+    * only → stays inside whole-stage codegen.
+    *
+    * `translate`, NOT `lower`: the C code lowercases bytes 'A'-'Z' only
+    * (`mpi_mapreduce.c:138`), whereas `lower()` is Unicode-aware and
+    * would also fold e.g. 'É'→'é' inside all-non-alpha tokens, merging
+    * keys the reference keeps distinct (observed: 5 of the 50,059
+    * distinct words in file_chunks_130 merge under unicode lower).
     */
   def normalize(tok: Column): Column = {
-    val lowered = lower(tok)
+    val lowered = translate(tok,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
     when(lowered.rlike("[a-z]"),
       regexp_replace(lowered, "^[^a-z]+|[^a-z]+$", ""))
       .otherwise(lowered)

@@ -72,15 +72,22 @@ object WordCountQueries extends QueryModule {
   // Shared normalize fragment (reference semantics, SURVEY §2.3): lower;
   // strip non-alpha ends only if any alpha byte exists; keep all-non-alpha
   // tokens verbatim; drop empty and >70-byte tokens.
+  // ASCII-only lowercase (translate), matching the C byte semantics —
+  // see WordCount.normalize.
   private val tokCte =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), low AS (
+      |  SELECT doc_id,
+      |    translate(tok, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |                   'abcdefghijklmnopqrstuvwxyz') AS ltok
+      |  FROM toks
       |), norm AS (
       |  SELECT doc_id,
-      |    CASE WHEN regexp_matches(lower(tok), '[a-z]')
-      |         THEN regexp_replace(lower(tok), '^[^a-z]+|[^a-z]+$', '', 'g')
-      |         ELSE lower(tok) END AS word
-      |  FROM toks
+      |    CASE WHEN regexp_matches(ltok, '[a-z]')
+      |         THEN regexp_replace(ltok, '^[^a-z]+|[^a-z]+$', '', 'g')
+      |         ELSE ltok END AS word
+      |  FROM low
       |), words AS (
       |  SELECT doc_id, word FROM norm WHERE length(word) > 0 AND length(word) <= 70
       |)""".stripMargin
