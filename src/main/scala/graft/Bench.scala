@@ -40,7 +40,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Headline vs BASELINE.md: word count over the reference's own corpus
+    // (file_chunks_130, ~13 MB, ~2.35 M tokens; reference best = 0.7 s on
+    // 160 cores). Warm once, report best of 3.
+    val corpus = "/root/reference/file_chunks_130/*.txt"
+    val wcTimes =
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.core.WordCount.run(spark, Seq(corpus))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once(); (1 to 3).map(_ => once())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus wc failed: ${e.getMessage}"); Seq(-1.0)
+      }
+    val wcBest = wcTimes.min
+    val tokPerSec = if (wcBest > 0) (2297140L / wcBest).toLong else -1L
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""wc_corpus_130_sec":$wcBest,"wc_corpus_tokens_per_sec":$tokPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

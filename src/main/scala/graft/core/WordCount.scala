@@ -54,11 +54,19 @@ object WordCount {
   def tokenize(lines: DataFrame): DataFrame =
     lines.select(explode(split(col("value"), " ", -1)).as("tok"))
 
-  /** Normalize, as a Catalyst column expression (`normalizeWord`,
-    * `mpi_mapreduce.c:133-161`): ASCII-only lowercase; if the token has
-    * at least one alpha byte, strip leading/trailing non-alpha runs; an
-    * all-non-alpha token (`...`, `1871`) is kept verbatim. Built-ins
-    * only → stays inside whole-stage codegen.
+  /** Normalize (`normalizeWord`, `mpi_mapreduce.c:133-161`): the custom
+    * codegen'd Catalyst expression [[graft.functions.NormalizeWord]] —
+    * one byte pass, byte-exact with the C code (ASCII-only lowercase;
+    * signed-byte alpha test; all-non-alpha tokens kept verbatim).
+    */
+  def normalize(tok: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.NormalizeWord(
+        org.apache.spark.sql.graft.Bridge.expression(tok)))
+
+  /** Same semantics from Spark built-ins only (three string scans vs the
+    * custom expression's one; kept as a cross-check in tests and as the
+    * pattern a built-ins-only deployment would use).
     *
     * `translate`, NOT `lower`: the C code lowercases bytes 'A'-'Z' only
     * (`mpi_mapreduce.c:138`), whereas `lower()` is Unicode-aware and
@@ -66,7 +74,7 @@ object WordCount {
     * keys the reference keeps distinct (observed: 5 of the 50,059
     * distinct words in file_chunks_130 merge under unicode lower).
     */
-  def normalize(tok: Column): Column = {
+  def normalizeBuiltin(tok: Column): Column = {
     val lowered = translate(tok,
       "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
     when(lowered.rlike("[a-z]"),
@@ -89,11 +97,14 @@ object WordCount {
     } else lowered
   }
 
-  /** Full pipeline: lines → (word, count). One shuffle, map-side combined. */
+  /** Full pipeline: lines → (word, count). One shuffle, map-side combined.
+    * The length cap is in BYTES (octet_length), matching the C
+    * `strlen(w) > WORD_LENGTH` drop at `mpi_mapreduce.c:209-211`.
+    */
   def count(lines: DataFrame): DataFrame =
     tokenize(lines)
       .select(normalize(col("tok")).as("word"))
-      .where(length(col("word")) > 0 && length(col("word")) <= WordLength)
+      .where(octet_length(col("word")) > 0 && octet_length(col("word")) <= WordLength)
       .groupBy("word")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
 

@@ -44,7 +44,8 @@ object WordCountQueries extends QueryModule {
     Tables(s, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
       .select(col("doc_id"), WordCount.normalize(col("tok")).as("word"))
-      .where(length(col("word")) > 0 && length(col("word")) <= WordCount.WordLength)
+      .where(octet_length(col("word")) > 0 &&
+        octet_length(col("word")) <= WordCount.WordLength)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_distinct"))
       .orderBy("doc_id")
@@ -89,7 +90,8 @@ object WordCountQueries extends QueryModule {
       |         ELSE ltok END AS word
       |  FROM low
       |), words AS (
-      |  SELECT doc_id, word FROM norm WHERE length(word) > 0 AND length(word) <= 70
+      |  SELECT doc_id, word FROM norm
+      |  WHERE octet_length(encode(word)) > 0 AND octet_length(encode(word)) <= 70
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
