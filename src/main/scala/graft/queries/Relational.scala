@@ -242,7 +242,88 @@ object Relational extends QueryModule {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
 
+  /** TPC-H Q14-flavored: promo revenue share by brand. part is a
+    * dimension → broadcast; lineitem shuffles once for the group-by.
+    */
+  def q18PartPromo(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** NTILE window: orders quartiled by price within each priority.
+    * Deterministic because the window order is total (price, key).
+    */
+  def q19Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .where(col("o_custkey") < 200)
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_orderpriority", "quartile", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "quartile", "o_orderkey")
+  }
+
+  /** String predicates reaching the scan (LIKE prefix → StartsWith
+    * pushed to parquet) + regexp extraction + agg.
+    */
+  def q20StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .where(col("p_type").like("SMALL%") && col("p_name").rlike("[aeiou]{2}"))
+      .select(col("p_brand"),
+        upper(substring(col("p_type"), 1, 5)).as("type_prefix"),
+        length(col("p_name")).as("name_len"))
+      .groupBy("p_brand", "type_prefix")
+      .agg(count(lit(1)).as("n_parts"), sum(col("name_len").cast("long")).as("sum_name_len"))
+      .orderBy("p_brand", "type_prefix")
+
+  /** UNION ALL + dedup-by-priority: customers and suppliers as one
+    * "party" dimension (the multi-source ingestion shape).
+    */
+  def q21UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.customer.select(col("c_custkey").as("party_key"),
+      lit("customer").as("party_type"), col("c_acctbal").as("acctbal"))
+    val sup = t.supplier.select(col("s_suppkey").as("party_key"),
+      lit("supplier").as("party_type"), col("s_acctbal").as("acctbal"))
+    c.unionAll(sup)
+      .groupBy("party_type")
+      .agg(count(lit(1)).as("n_parties"),
+        round(sum("acctbal"), 2).as("sum_acctbal"))
+      .orderBy("party_type")
+  }
+
+  /** PIVOT: order counts by year × priority (wide shape). Spark plans
+    * pivot as a single groupBy with one conditional aggregate per pivot
+    * value — exactly one shuffle on the row key; the oracle replays it
+    * with explicit FILTER aggregates.
+    */
+  def q22Pivot(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables(s, dir).orders
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(prios.zipWithIndex.map { case (p, i) => p -> s"prio_$i" }.toMap)
+      .orderBy("o_year")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_part_promo" -> (q18PartPromo _),
+    "q19_ntile" -> (q19Ntile _),
+    "q20_string_funcs" -> (q20StringFuncs _),
+    "q21_union_all" -> (q21UnionAll _),
+    "q22_pivot" -> (q22Pivot _),
     "q01_agg_pricing" -> (q01AggPricing _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_topk" -> (q03JoinTopK _),
@@ -263,6 +344,46 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_part_promo" ->
+      """SELECT p_brand,
+        | round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q19_ntile" ->
+      """SELECT o_orderpriority, CAST(ntile(4) OVER (
+        |   PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile,
+        | o_orderkey, o_totalprice
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_orderpriority, quartile, o_orderkey""".stripMargin,
+    "q20_string_funcs" ->
+      """SELECT p_brand, upper(substr(p_type, 1, 5)) AS type_prefix,
+        | count(*) AS n_parts,
+        | CAST(sum(length(p_name)) AS BIGINT) AS sum_name_len
+        |FROM part
+        |WHERE p_type LIKE 'SMALL%' AND regexp_matches(p_name, '[aeiou]{2}')
+        |GROUP BY p_brand, type_prefix
+        |ORDER BY p_brand, type_prefix""".stripMargin,
+    "q21_union_all" ->
+      """WITH parties AS (
+        |  SELECT c_custkey AS party_key, 'customer' AS party_type, c_acctbal AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, 'supplier', s_acctbal FROM supplier)
+        |SELECT party_type, count(*) AS n_parties,
+        | round(sum(acctbal), 2) AS sum_acctbal
+        |FROM parties GROUP BY party_type ORDER BY party_type""".stripMargin,
+    "q22_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS prio_0,
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS prio_1,
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS prio_2,
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS prio_3,
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS prio_4
+        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

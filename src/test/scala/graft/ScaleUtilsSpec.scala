@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Bucketing, Skew}
+
+/** The scale utilities produce correct results AND the plan shapes they
+  * promise (salt key in the shuffle; no Exchange on bucketed joins).
+  */
+class ScaleUtilsSpec extends SparkSpec {
+
+  test("saltedInnerJoin == plain inner join, and shuffles on (key, salt)") {
+    import spark.implicits._
+    // skewed left: key 1 dominates
+    val left = (Seq.fill(500)(1) ++ (2 to 50)).map(k => (k, s"l$k")).toDF("k", "lv")
+    val right = (1 to 50).map(k => (k, s"r$k")).toDF("k", "rv")
+    val salted = Skew.saltedInnerJoin(left, right, "k", 8)
+    val plain = left.join(right, "k")
+    val a = salted.select("k", "lv", "rv").collect().map(_.toString).sorted
+    val b = plain.select("k", "lv", "rv").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt column must participate in the join")
+  }
+
+  test("saltedCount == plain count per key") {
+    import spark.implicits._
+    val df = (Seq.fill(300)("hot") ++ Seq("a", "b", "b")).toDF("k")
+    val got = Skew.saltedCount(df, "k", 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 300L, "a" -> 1L, "b" -> 2L))
+  }
+
+  test("skewReport surfaces the hot key first") {
+    import spark.implicits._
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(_.toString)).toDF("k")
+    val top = Skew.skewReport(df, "k", 3).collect()
+    assert(top.head.getString(0) == "hot")
+    assert(top.head.getDouble(3) > 5.0) // ~9.9x the mean
+  }
+
+  test("bucketed join runs with no Exchange on either side") {
+    import spark.implicits._
+    val facts = (1 to 1000).map(i => (i % 97, s"f$i")).toDF("k", "fv")
+    val dims = (0 until 97).map(i => (i, s"d$i")).toDF("k", "dv")
+    Bucketing.writeBucketed(facts, "graft_facts_b", "k", 8)
+    Bucketing.writeBucketed(dims, "graft_dims_b", "k", 8)
+    // Force the sort-merge path: with broadcast on, the small side would
+    // be a BroadcastExchange and hide the co-partitioning win.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "graft_facts_b", "graft_dims_b", "k")
+      assert(joined.count() == 1000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected exchange-free bucketed join, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "scan must read bucketed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStream, Session}
+
+/** Streaming pipelines run incrementally (MemoryStream → memory sink)
+  * and agree with their batch counterparts.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  test("streaming word count matches batch on the same lines") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = EventStream.wordCount(in.toDF().withColumnRenamed("value", "value"))
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    in.addData("The quick fox", "the (quick). fox ...")
+    q.processAllAvailable()
+    val got = spark.table("wc_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got == Map("the" -> 2L, "quick" -> 2L, "fox" -> 2L, "..." -> 1L))
+  }
+
+  test("watermarked hourly counts emit one row per (hour, type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2026-01-01 10:05:00"), "click", 1.0),
+      (t("2026-01-01 10:55:00"), "click", 2.0),
+      (t("2026-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    val got = spark.table("hourly_stream")
+      .select(date_format(col("hour"), "HH").as("h"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(got == Map(("10", "click") -> 2L, ("11", "view") -> 1L))
+  }
+
+  test("stateful sessionize closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[graft.streaming.UserEvent]
+    val sessions = EventStream.sessionize(spark, in.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    def ev(u: Long, s: String) =
+      graft.streaming.UserEvent(u, java.sql.Timestamp.valueOf(s))
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    // user 1: two events 5 min apart, then a 60-min gap, then one more —
+    // the first session closes when the post-gap event arrives.
+    in.addData(ev(1, "2026-01-01 10:00:00"), ev(1, "2026-01-01 10:05:00"))
+    q.processAllAvailable()
+    in.addData(ev(1, "2026-01-01 11:05:00"))
+    q.processAllAvailable()
+    // user 2 appears much later: the watermark advance fires user 1's
+    // event-time timeout (11:05 + 30 min), closing the idle session.
+    in.addData(ev(2, "2026-01-01 13:00:00"))
+    q.processAllAvailable()
+    val got = spark.table("sess_stream").as[graft.streaming.Session].collect().toSet
+    q.stop()
+    assert(got == Set(
+      Session(1L, us("2026-01-01 10:00:00"), us("2026-01-01 10:05:00"), 2L),
+      Session(1L, us("2026-01-01 11:05:00"), us("2026-01-01 11:05:00"), 1L)))
+  }
+}
