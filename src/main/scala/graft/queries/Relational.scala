@@ -318,7 +318,48 @@ object Relational extends QueryModule {
       .orderBy("o_year")
   }
 
+  /** Correlated subquery (TPC-H Q17 shape) through the engine's SQL
+    * surface: lineitems under 20% of their part's average quantity.
+    * Catalyst decorrelates the per-part scalar subquery into an
+    * aggregate + join — no per-row re-execution; the same plan a
+    * hand-written window/join rewrite would give.
+    */
+  def q23Correlated(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  round(sum(l_extendedprice), 2) AS small_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  /** Date/time functions: shipping-delay stats per order year —
+    * datediff + year/quarter extraction, integer-exact.
+    */
+  def q24DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("delay_days"))
+      .groupBy("o_year", "o_quarter")
+      .agg(count(lit(1)).as("n_items"),
+        round(avg("delay_days"), 4).as("avg_delay"),
+        max("delay_days").as("max_delay"))
+      .orderBy("o_year", "o_quarter")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_correlated" -> (q23Correlated _),
+    "q24_date_funcs" -> (q24DateFuncs _),
     "q18_part_promo" -> (q18PartPromo _),
     "q19_ntile" -> (q19Ntile _),
     "q20_string_funcs" -> (q20StringFuncs _),
@@ -344,6 +385,21 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_correlated" ->
+      """SELECT p_brand, count(*) AS n_small,
+        | round(sum(l_extendedprice), 2) AS small_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q24_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        | count(*) AS n_items,
+        | round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay,
+        | CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS max_delay
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_year, o_quarter ORDER BY o_year, o_quarter""".stripMargin,
     "q18_part_promo" ->
       """SELECT p_brand,
         | round(sum(CASE WHEN p_type LIKE 'PROMO%'
