@@ -50,12 +50,6 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("lang"), words.as("w"))
       .select(col("doc_id"), col("lang"), shingles(col("w")).as("sh"))
 
-  /** MinHash_k = min over shingles of md5("k|" + shingle). String-min on
-    * lowercase hex == numeric min on the 128-bit hash value.
-    */
-  private def minhash(sh: Column, k: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$k|"), x))))
-
   private val NumHashes = 8
   private val Bands = 4 // 2 hashes per band
 
@@ -73,17 +67,31 @@ object Dedup extends QueryModule {
     * 2 → candidate pairs from band-equality self-join → verify exact
     * shingle-set Jaccard on candidates only.
     *
-    * The self-join is an equi-join on (band_idx, band_val): Spark
-    * shuffles both sides on that composite key, so cost scales with
-    * bucket sizes, not n². Verification re-joins the shingle arrays by
-    * doc_id (two more equi-shuffles) — at scale persist the signature
-    * table instead of recomputing.
+    * Minhashes are computed in ROW form: explode shingles, hash each
+    * once (two md5s per shingle; each yields four 32-bit hex slices →
+    * 8 hash families), then min-aggregate per doc. This keeps the hash
+    * work in whole-stage codegen — array-lambda minhashing re-evaluates
+    * interpreted md5 per (element × family) — and the per-doc min is
+    * map-side combined, so at 100 TB the signature build is a single
+    * cheap aggregation keyed on doc_id.
+    *
+    * The candidate self-join is an equi-join on (band_idx, band_val):
+    * cost scales with band-bucket sizes, not n². Verification re-joins
+    * the shingle arrays by doc_id on candidates only.
     */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = shingled(s, dir).select(col("doc_id"), col("sh"))
-    val withHashes = sig.select(
-      col("doc_id") +: col("sh") +:
-        (0 until NumHashes).map(k => minhash(col("sh"), k).as(s"mh$k")): _*)
+    val hashed = sig
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        md5(concat(lit("0|"), col("s"))).as("h0"),
+        md5(concat(lit("1|"), col("s"))).as("h1"))
+    val withHashes = hashed.groupBy("doc_id").agg(
+      min(substring(col("h0"), 1, 8)).as("mh0"),
+      (1 until NumHashes).map { k =>
+        val h = if (k < 4) "h0" else "h1"
+        min(substring(col(h), (k % 4) * 8 + 1, 8)).as(s"mh$k")
+      }: _*)
     val bands = withHashes.select(
       col("doc_id"),
       explode(array((0 until Bands).map(b =>
@@ -220,8 +228,10 @@ object Dedup extends QueryModule {
   private val simhashBits = (0 until 16).map(i =>
     s"CASE WHEN s$i >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
 
-  private val minhashSelect = (0 until NumHashes).map(k =>
-    s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS mh$k").mkString(",\n    ")
+  private val minhashSelect = (0 until NumHashes).map { k =>
+    val m = k / 4
+    s"min(substr(md5('$m|' || sng), ${(k % 4) * 8 + 1}, 8)) AS mh$k"
+  }.mkString(",\n    ")
   private val bandSelects = (0 until Bands).map(b =>
     s"SELECT doc_id, $b AS band_idx, mh${2 * b} || mh${2 * b + 1} AS band_val FROM sig")
     .mkString("\n  UNION ALL\n  ")
@@ -232,10 +242,15 @@ object Dedup extends QueryModule {
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
     "dd_minhash_lsh" ->
-      s"""$shingleCte, sig AS (
-         |  SELECT doc_id, sh,
+      s"""$shingleCte, hashed AS (
+         |  SELECT doc_id, unnest(sh) AS sng FROM s
+         |), mins AS (
+         |  SELECT doc_id,
          |    $minhashSelect
-         |  FROM s
+         |  FROM hashed GROUP BY doc_id
+         |), sig AS (
+         |  SELECT s.doc_id, s.sh, ${(0 until NumHashes).map(k => s"mins.mh$k").mkString(", ")}
+         |  FROM s JOIN mins ON s.doc_id = mins.doc_id
          |), bands AS (
          |  $bandSelects
          |), cand AS (

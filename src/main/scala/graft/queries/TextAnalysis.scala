@@ -122,7 +122,34 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Top-3 terms per language via the typed bounded-buffer aggregator
+    * [[graft.functions.TopKByCount]]: each partial aggregation ships at
+    * most k rows per group to the shuffle (vs. window-rank's
+    * sort-the-whole-group). The oracle replays it as a window — results
+    * are identical because the tiebreak (cnt desc, term asc) is total.
+    */
+  def taTopTermsLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val termCounts = Tables(s, dir).documents
+      .select(col("lang"), explode(filter(toks, t => t =!= "")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("term"), col("cnt"))
+      .as[(String, String, Long)]
+    val agg = new graft.functions.TopKByCount(3)
+      .toColumn.name("top")
+    termCounts
+      .groupByKey(_._1)
+      .mapValues { case (_, term, cnt) => graft.functions.TermCount(term, cnt) }
+      .agg(agg)
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top")).as(Seq("rank0", "tc")))
+      .select(col("lang"), (col("rank0") + 1).cast("int").as("rank"),
+        col("tc.term").as("term"), col("tc.cnt").as("cnt"))
+      .orderBy("lang", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_top_terms_lang" -> (taTopTermsLang _),
     "ta_doc_stats" -> (taDocStats _),
     "ta_lang_id" -> (taLangId _),
     "ta_quality" -> (taQuality _),
@@ -135,6 +162,17 @@ object TextAnalysis extends QueryModule {
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_top_terms_lang" ->
+      """WITH terms AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY lang, term),
+        |ranked AS (
+        |  SELECT lang, term, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS INTEGER) AS rank
+        |  FROM tc)
+        |SELECT lang, rank, term, cnt FROM ranked WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
     "ta_doc_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS INTEGER) AS n_chars,

@@ -53,11 +53,19 @@ class NormalizeWordExprSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq == Seq("upper", "mixed"))
   }
 
-  test("SQL registration: normalize_word callable from SQL text") {
-    org.apache.spark.sql.graft.Bridge.registerUnary(
-      spark, "normalize_word", graft.functions.NormalizeWord(_))
+  test("normalize_word resolves in SQL via GraftExtensions (session config)") {
+    // SparkSpec builds the session with spark.sql.extensions=graft.GraftExtensions;
+    // no imperative registration happens anywhere in the test suite.
     val got = spark.sql("SELECT normalize_word('(Word).') AS w")
       .collect()(0).getString(0)
     assert(got == "word")
+  }
+
+  test("imperative registration path (Bridge.registerUnary) also works") {
+    org.apache.spark.sql.graft.Bridge.registerUnary(
+      spark, "normalize_word_alt", graft.functions.NormalizeWord(_))
+    val got = spark.sql("SELECT normalize_word_alt('...xYz...') AS w")
+      .collect()(0).getString(0)
+    assert(got == "xyz")
   }
 }
