@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeWord].getName, "normalize_word"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NormalizeWord(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNormalizeWord)
   }
 }

@@ -49,6 +49,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(("10", "click") -> 2L, ("11", "view") -> 1L))
   }
 
+  test("file-source streaming word count over reference chunks") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-stream-in")
+    // seed with two real corpus chunks; the stream picks them up as files
+    for (i <- 0 to 1) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/reference/file_chunks/$i.txt"),
+        dir.resolve(s"$i.txt"))
+    }
+    val q = EventStream.wordCountStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("wc_files")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    q.processAllAvailable()
+    val afterTwo = spark.table("wc_files")
+      .agg(org.apache.spark.sql.functions.sum("count")).collect()(0).getLong(0)
+    // a third file arrives: counts grow incrementally, no reprocessing
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/file_chunks/2.txt"),
+      dir.resolve("2.txt"))
+    q.processAllAvailable()
+    val afterThree = spark.table("wc_files")
+      .agg(org.apache.spark.sql.functions.sum("count")).collect()(0).getLong(0)
+    q.stop()
+    // batch ground truth on the same three files
+    val batch = graft.core.WordCount
+      .run(spark, Seq(dir.toString + "/*.txt"))
+      .agg(org.apache.spark.sql.functions.sum("count")).collect()(0).getLong(0)
+    assert(afterThree == batch, "streaming total must equal batch total")
+    assert(afterTwo < afterThree, "counts must grow as files arrive")
+  }
+
   test("stateful sessionize closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
