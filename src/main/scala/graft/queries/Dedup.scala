@@ -177,9 +177,10 @@ object Dedup extends QueryModule {
     * rounded value so the comparison is engine-stable.
     */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
+    }
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR after it (n²/blocks rows) — the arithmetic
     // (sqrt(dot(e,e))) is identical so results are bit-equal, but the

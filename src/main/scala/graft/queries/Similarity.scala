@@ -28,7 +28,18 @@ import graft.sources.Tables
   */
 object Similarity extends QueryModule {
 
-  private def dot(x: Column, y: Column): Column =
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]);
+    * bit-equal to [[dotBuiltin]] (cross-checked in SimilaritySpec).
+    */
+  private def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
+  }
+
+  /** Built-ins-only formulation (two interpreted lambdas per element);
+    * kept as the cross-check and the no-custom-code fallback.
+    */
+  def dotBuiltin(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
