@@ -357,7 +357,27 @@ object Relational extends QueryModule {
       .orderBy("o_year", "o_quarter")
   }
 
+  /** Semi-structured: parse the JSON `props` column with an explicit
+    * schema (from_json — codegen'd Jackson parse, no inference pass) and
+    * aggregate on the extracted field. At 100 TB the explicit schema is
+    * what keeps this a single streaming scan: schema inference would
+    * read the data twice, and string get_json_object per field would
+    * re-parse the document per extraction.
+    */
+  def q25Json(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables(s, dir).events
+      .select(col("event_type"), from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_json" -> (q25Json _),
     "q23_correlated" -> (q23Correlated _),
     "q24_date_funcs" -> (q24DateFuncs _),
     "q18_part_promo" -> (q18PartPromo _),
@@ -385,6 +405,11 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q25_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_correlated" ->
       """SELECT p_brand, count(*) AS n_small,
         | round(sum(l_extendedprice), 2) AS small_revenue
