@@ -98,6 +98,27 @@ object TextAnalysis extends QueryModule {
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Rabin–Karp polynomial rolling hash: h ← (h·31 + code(c)) mod 1e9+7
+    * folded over the characters — the incremental-window fingerprint
+    * primitive (each step is O(1), so a sliding window updates by one
+    * multiply-add, unlike a cryptographic digest). Emitted per document
+    * over the full text and over the leading 32-char window (the
+    * window form a chunk-level near-dup scan would slide).
+    * Exact 64-bit integer arithmetic in both engines.
+    */
+  def taRollingHash(s: SparkSession, dir: String): DataFrame = {
+    def roll(chars: Column): Column =
+      aggregate(
+        filter(chars, c => c =!= ""),
+        lit(0L),
+        (h, c) => pmod(h * 31L + ascii(c), lit(1000000007L)))
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        roll(split(col("text"), "")).as("full_hash"),
+        roll(split(substring(col("text"), 1, 32), "")).as("head32_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Top TF-IDF term per document (rational idf N/df — no transcendental
     * functions, so engine-exact). Two shuffles: df per term, then the
     * per-doc window; both keyed on high-cardinality columns that
@@ -155,6 +176,7 @@ object TextAnalysis extends QueryModule {
     "ta_quality" -> (taQuality _),
     "ta_token_regex" -> (taTokenRegex _),
     "ta_fingerprint" -> (taFingerprint _),
+    "ta_rolling_hash" -> (taRollingHash _),
     "ta_tfidf_top" -> (taTfidfTop _),
   )
 
@@ -220,6 +242,18 @@ object TextAnalysis extends QueryModule {
       """SELECT doc_id,
         | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_rolling_hash" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |    list_transform(split(text, ''), c -> ord(c)::BIGINT) AS full_c,
+        |    list_transform(split(substr(text, 1, 32), ''), c -> ord(c)::BIGINT) AS head_c
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, full_c),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS full_hash,
+        |  list_reduce(list_prepend(0::BIGINT, head_c),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS head32_hash
+        |FROM chars ORDER BY doc_id""".stripMargin,
     "ta_tfidf_top" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
