@@ -376,7 +376,21 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Array aggregation: the distinct order-years per customer as a
+    * SORTED array — sort_array makes collect_set deterministic (raw
+    * collect order varies with partitioning), so the result is
+    * hash-comparable across engines.
+    */
+  def q26ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .where(col("o_custkey") < 100)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_set(year(col("o_orderdate")))).as("order_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_array_agg" -> (q26ArrayAgg _),
     "q25_json" -> (q25Json _),
     "q23_correlated" -> (q23Correlated _),
     "q24_date_funcs" -> (q24DateFuncs _),
@@ -405,6 +419,12 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_array_agg" ->
+      """SELECT o_custkey,
+        | list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))) AS order_years,
+        | count(*) AS n_orders
+        |FROM orders WHERE o_custkey < 100
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q25_json" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
