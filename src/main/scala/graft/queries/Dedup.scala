@@ -98,6 +98,9 @@ object Dedup extends QueryModule {
         struct(lit(b).as("band_idx"),
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+      // same rationale as the postings join: shuffle on the band key,
+      // never broadcast a signature table
+      .hint("shuffle_hash")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -155,7 +158,13 @@ object Dedup extends QueryModule {
     val sh = shingled(s, dir)
       .select(col("doc_id"), col("lang"), array_distinct(col("sh")).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // shuffle_hash hint: Spark would otherwise BROADCAST one side of the
+    // self-join — rebuilding the whole shingle pipeline for the build
+    // side AND collecting every posting to the driver, which is exactly
+    // what must not happen at 100 TB. A shuffled hash join keys both
+    // sides on (lang, shingle) — the scalable shape.
     val postings = sh.select(col("lang"), col("doc_id"), explode(col("sh")).as("shingle"))
+      .hint("shuffle_hash")
     val common = postings.as("x").join(postings.as("y"),
         col("x.lang") === col("y.lang") && col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
