@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-shape assertions for the claims COVERAGE.md makes: filters and
+  * projections reach the parquet scan, top-k avoids global sorts, and
+  * dimension joins broadcast.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filter pushed to parquet, scan pruned to needed columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected shipdate pushdown:\n$p")
+    // 4 projected + 2 filter-only columns = 6 of lineitem's 11; the
+    // ReadSchema line is truncated in toString, so parse the FileScan
+    // output column list instead
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(sys.error(s"no FileScan in:\n$p"))
+    assert(scanCols.split(",").length == 6,
+      s"scan should read exactly the 6 needed columns, got: $scanCols")
+  }
+
+  test("q03: per-partition top-k (TakeOrderedAndProject), no global sort") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q06: dimension chain joins are broadcast") {
+    val p = plan("q06_outer_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("wc: exactly one hash-partition exchange keyed on word pre-sort") {
+    val df = SparkEntry.queries("wc_word_count")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(word".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE word-keyed exchange, plan:\n$p")
+  }
+}
