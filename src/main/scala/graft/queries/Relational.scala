@@ -376,16 +376,18 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
-  /** Array aggregation: the distinct order-years per customer as a
-    * SORTED array — sort_array makes collect_set deterministic (raw
-    * collect order varies with partitioning), so the result is
-    * hash-comparable across engines.
+  /** Array aggregation: the distinct order-years per customer, sorted
+    * (sort_array makes collect_set deterministic — raw collect order
+    * varies with partitioning) and emitted as a ','-joined string so the
+    * driver's pandas hash compare can factorize the column (a raw
+    * array<int> column is unhashable there).
     */
   def q26ArrayAgg(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).orders
       .where(col("o_custkey") < 100)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_set(year(col("o_orderdate")))).as("order_years"),
+      .agg(array_join(sort_array(collect_set(year(col("o_orderdate")))), ",")
+          .as("order_years"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
@@ -421,7 +423,7 @@ object Relational extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q26_array_agg" ->
       """SELECT o_custkey,
-        | list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))) AS order_years,
+        | array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))), ',') AS order_years,
         | count(*) AS n_orders
         |FROM orders WHERE o_custkey < 100
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
@@ -538,9 +540,9 @@ object Relational extends QueryModule {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q08_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q09_intersect" ->
