@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdio through RAW — no sbt [info]/[error]
+// prefixes. The driver parses graft.Bench's last stdout line as JSON;
+// the logger-routed default both prefixes it and relabels Spark's
+// stderr INFO logs as [error]. showSuccess drops the trailing
+// "[success] Total time" line for the same reason.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

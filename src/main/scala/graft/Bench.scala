@@ -23,23 +23,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def exec(name: String): Unit =
+    def exec(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // dedup queries persist() staged signature tables; drop them so one
+      // query's cache never skews the next timing (or accumulates memory)
+      spark.catalog.clearCache()
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try exec(n)
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
     }
-    val results = names.map { name =>
+    // A failing query reports null (and an errors entry) — never its
+    // time-to-failure as if it were a legitimate timing.
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
       val t0 = System.nanoTime()
-      try exec(name)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { exec(name); name -> Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map {
+      case (k, Right(v)) => jstr(k) + ":" + v
+      case (k, Left(_))  => jstr(k) + ":null"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val nFailed = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(v)) => v }.sum
     // Headline vs BASELINE.md: word count over the reference's own corpus
     // (file_chunks_130, ~13 MB, ~2.35 M tokens; reference best = 0.7 s on
     // 160 cores). Warm once, report best of 3.
@@ -58,8 +77,11 @@ object Bench {
       }
     val wcBest = wcTimes.min
     val tokPerSec = if (wcBest > 0) (2297140L / wcBest).toLong else -1L
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""wc_corpus_130_sec":$wcBest,"wc_corpus_tokens_per_sec":$tokPerSec,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so shutdown chatter can't land after the
+    // JSON — the driver parses the last clean stdout line.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errors,"n_failed":$nFailed,""" +
+      s""""wc_corpus_130_sec":$wcBest,"wc_corpus_tokens_per_sec":$tokPerSec,"sf":"$sfDir"}""")
   }
 }

@@ -80,18 +80,25 @@ object Dedup extends QueryModule {
     * the shingle arrays by doc_id on candidates only.
     */
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(s, dir).select(col("doc_id"), col("sh"))
+    // persist: the shingle pipeline feeds the minhash build AND both
+    // verification branches (sa/sb) — without it the zip_with shingling
+    // re-runs three times. Production would stage this as a bucketed
+    // table; here the block-manager cache is the same role. The harness
+    // (Bench/test teardown) clears caches between queries.
+    val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
     val hashed = sig
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
         md5(concat(lit("0|"), col("s"))).as("h0"),
         md5(concat(lit("1|"), col("s"))).as("h1"))
+    // persist: the banded self-join's two branches would otherwise each
+    // recompute the whole explode→md5→min-aggregate signature build
     val withHashes = hashed.groupBy("doc_id").agg(
       min(substring(col("h0"), 1, 8)).as("mh0"),
       (1 until NumHashes).map { k =>
         val h = if (k < 4) "h0" else "h1"
         min(substring(col(h), (k % 4) * 8 + 1, 8)).as(s"mh$k")
-      }: _*)
+      }: _*).persist()
     val bands = withHashes.select(
       col("doc_id"),
       explode(array((0 until Bands).map(b =>
@@ -155,8 +162,10 @@ object Dedup extends QueryModule {
     * join — plugs in as one extra filter on the grouped index.
     */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // persist: feeds the size table and BOTH postings self-join branches
     val sh = shingled(s, dir)
       .select(col("doc_id"), col("lang"), array_distinct(col("sh")).as("sh"))
+      .persist()
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // shuffle_hash hint: Spark would otherwise BROADCAST one side of the
     // self-join — rebuilding the whole shingle pipeline for the build
@@ -180,16 +189,21 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
+  }
+
   /** Embedding cosine near-dup, blocked by label. The dot product is a
     * left fold in double precision — bit-identical in Spark and DuckDB
     * (same operand casts, same association). Threshold applies to the
     * rounded value so the comparison is engine-stable.
+    *
+    * SCALE NOTE: all-pairs within label blocks is O(|block|²) — the
+    * small-scale ORACLE for [[ddEmbedLsh]], which is the 100 TB path
+    * (candidates from a banded equi-join, never all-pairs).
     */
   def ddEmbedNear(s: SparkSession, dir: String): DataFrame = {
-    def dot(x: Column, y: Column): Column = {
-      import org.apache.spark.sql.graft.Bridge
-      Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
-    }
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR after it (n²/blocks rows) — the arithmetic
     // (sqrt(dot(e,e))) is identical so results are bit-equal, but the
@@ -209,12 +223,93 @@ object Dedup extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- random-hyperplane LSH for embedding near-dup (the scale path) ----
+
+  /** testdata embeddings are 64-dim float; a length mismatch nulls the
+    * dot (and the row drops at the threshold filter) rather than erring.
+    */
+  private val EmbedDims = 64
+  private val LshBands = 24
+  private val LshRowsPerBand = 8
+  private val LshBits = LshBands * LshRowsPerBand
+
+  /** Bits-per-band for n vectors: ⌈log₂ n⌉ keeps EXPECTED random
+    * collisions per band at ~n (n²/2^r ≤ n), the linear-cost operating
+    * point; add bands to buy recall back. The oracled [[ddEmbedLsh]]
+    * uses the fixed r=8/B=24 (static oracle SQL can't depend on runtime
+    * n — and r=8 IS this rule's output for the 500-row gate corpus); a
+    * production pipeline calls this with its corpus size.
+    */
+  def lshRowsForN(n: Long): Int =
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1))
+
+  /** Deterministic ±1 hyperplane weights from md5("hp|bit|dim") — fixed
+    * constants computed at PLAN time and inlined as literals into both
+    * the Spark plan and the DuckDB oracle SQL, so the two engines run
+    * the identical projection bit-for-bit.
+    */
+  private def hpWeight(bit: Int, dim: Int): Float = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp|$bit|$dim".getBytes("UTF-8"))
+    if ((h(0) & 0xff) >= 0x80) 1f else -1f
+  }
+  private val hyperplanes: IndexedSeq[Seq[Float]] =
+    (0 until LshBits).map(b => (0 until EmbedDims).map(d => hpWeight(b, d)))
+
+  /** Embedding near-dup via random-hyperplane LSH — the 100 TB shape.
+    *
+    * sign(w_j · e) over [[LshBits]] fixed hyperplanes gives each vector a
+    * bit signature; signatures are banded ([[LshBands]] bands of
+    * [[LshRowsPerBand]] bits) and candidates come from an EQUI-join on
+    * (band_idx, band_val) — never an all-pairs join. Exact cosine runs
+    * on candidates only, same threshold as [[ddEmbedNear]].
+    *
+    * Scale law: expected random collisions per band ≈ n²/2^r (r = bits
+    * per band), so r must grow with log₂(n) — see [[lshRowsForN]]. Here
+    * r=8, B=24: recall ≈0.4 at the (deliberately low) cosine-0.35
+    * threshold, rising toward 1 for true near-dups, and the candidate
+    * join stays an equi-shuffle whose volume is measured, not assumed
+    * (EmbedLshSpec). LSH is probabilistic: pairs ddEmbedNear finds can
+    * be missed — the oracle replays the identical hyperplanes, so the
+    * hash-compare is still exact.
+    */
+  def ddEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val sigBits = (0 until LshBits).map(j =>
+      when(dot(col("embedding"), typedlit(hyperplanes(j))) >= 0, "+").otherwise("-"))
+    val sig = e.select(col("vec_id"), concat(sigBits: _*).as("sig"))
+    val bands = sig.select(
+      col("vec_id"),
+      explode(array((0 until LshBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          substring(col("sig"), b * LshRowsPerBand + 1, LshRowsPerBand).as("band_val"))): _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
+      // shuffle on the band key, never broadcast-collect a signature table
+      .hint("shuffle_hash")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= 0.35)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
+    "dd_embed_lsh" -> (ddEmbedLsh _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -237,6 +332,27 @@ object Dedup extends QueryModule {
     .mkString(",\n    ")
   private val simhashBits = (0 until 16).map(i =>
     s"CASE WHEN s$i >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+
+  /** dot(embedding, hyperplane(bit)) with the ±1 weights inlined as a
+    * SQL list literal — the exact constants the Spark plan uses.
+    */
+  private def hpDotSql(bit: Int): String = {
+    val w = (0 until EmbedDims)
+      .map(d => if (hpWeight(bit, d) > 0) "1" else "-1").mkString("[", ",", "]")
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${EmbedDims + 1}), " +
+      s"i -> embedding[i]::DOUBLE * ($w)[i])), (x, y) -> x + y)"
+  }
+  // variadic concat, not a `||` chain: 192 nested binary concats blow
+  // DuckDB's binder recursion limit (max 128)
+  private val lshSigSql = (0 until LshBits)
+    .map(b => s"(CASE WHEN ${hpDotSql(b)} >= 0 THEN '+' ELSE '-' END)")
+    .mkString("concat(", ",\n    ", ")")
+  private val lshBandSelects = (0 until LshBands).map(b =>
+    s"SELECT vec_id, $b AS band_idx, substr(sig, ${b * LshRowsPerBand + 1}, $LshRowsPerBand) AS band_val FROM sig")
+    .mkString("\n  UNION ALL\n  ")
+  private def embDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
 
   private val minhashSelect = (0 until NumHashes).map { k =>
     val m = k / 4
@@ -318,5 +434,28 @@ object Dedup extends QueryModule {
         |SELECT label, vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_embed_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |    $lshSigSql AS sig
+         |  FROM embeddings
+         |), bands AS (
+         |  $lshBandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |   AND x.vec_id < y.vec_id
+         |), p AS (
+         |  SELECT vec_a, vec_b,
+         |    round(${embDotSql("a.embedding", "b.embedding")}
+         |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
+         |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = vec_a
+         |  JOIN embeddings b ON b.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cosine FROM p
+         |WHERE cosine >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -43,11 +43,30 @@ object Similarity extends QueryModule {
     aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private val BucketDims = 4
+  /** Coarse-quantizer width: 2^BucketDims cells. The cell count MUST
+    * grow with n — with a constant cell count the within-cell scan is
+    * Θ(n²/cells). Rule of thumb: cells ≈ √n (so expected cell occupancy
+    * and probe cost both grow as √n); at 10⁹ vectors that's ~2¹⁵ cells
+    * (k-means centroids in production; the sign quantizer here keeps the
+    * oracle exactly replayable while exercising the same plan shape).
+    * 8 bits = 256 cells at test scale (500–2000 vectors).
+    */
+  private[graft] val BucketDims = 8
 
-  private def signBucket(e: Column): Column =
+  private[graft] def signBucket(e: Column): Column =
     concat((1 to BucketDims).map(i =>
       when(element_at(e, i) >= 0f, "+").otherwise("-")): _*)
+
+  /** Multi-probe cells for a query: its own cell plus all Hamming-1
+    * neighbors (one sign flipped) — recovers the recall that a finer
+    * quantizer costs, still candidate-generation by EQUI-join. A
+    * candidate lives in exactly one cell, so probes never duplicate it.
+    */
+  private[graft] def probeCells(cell: Column): Column =
+    array(cell +: (1 to BucketDims).map { i =>
+      val flipped = when(substring(cell, i, 1) === "+", "-").otherwise("+")
+      concat(substring(cell, 1, i - 1), flipped, substring(cell, i + 1, BucketDims - i))
+    }: _*)
 
   /** embeddings staged with a precomputed norm column: one array fold per
     * vector before the join instead of two extra folds per candidate
@@ -80,15 +99,19 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-style bucketed ANN: search only within the query's sign cell.
-    * Top-3 per query for queries vec_id < 20.
+  /** IVF-style bucketed ANN: search the query's sign cell plus its
+    * Hamming-1 probe neighbors. Top-3 per query for queries vec_id < 20.
+    * Candidate generation is an equi-join on the cell id — at 100 TB the
+    * cell is the shuffle/bucketing key and cost is Σ(probes×|cell|), not
+    * n².
     */
   def simIvfBucket(s: SparkSession, dir: String): DataFrame = {
     val e = normed(s, dir)
       .select(col("vec_id"), col("embedding"), col("norm"),
         signBucket(col("embedding")).as("cell"))
     val q = e.where(col("vec_id") < 20)
-      .select(col("cell"), col("vec_id").as("query_id"),
+      .select(explode(probeCells(col("cell"))).as("cell"),
+        col("vec_id").as("query_id"),
         col("embedding").as("eq"), col("norm").as("nq"))
     val c = e.select(col("cell"), col("vec_id"), col("embedding").as("ec"), col("norm").as("nc"))
     val w = Window.partitionBy("query_id")
@@ -140,10 +163,16 @@ object Similarity extends QueryModule {
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${cellSql("embedding")} AS cell
          |  FROM embeddings),
-         |q AS (SELECT cell, vec_id AS query_id, embedding AS eq FROM e WHERE vec_id < 20),
+         |q AS (
+         |  SELECT unnest(list_prepend(cell, list_transform(range(1, ${BucketDims + 1}),
+         |      i -> substr(cell, 1, i - 1)
+         |        || (CASE WHEN substr(cell, i, 1) = '+' THEN '-' ELSE '+' END)
+         |        || substr(cell, i + 1, $BucketDims - i)))) AS cell,
+         |    vec_id AS query_id, embedding AS eq
+         |  FROM e WHERE vec_id < 20),
          |c AS (SELECT cell, vec_id, embedding AS ec FROM e),
          |scored AS (
-         |  SELECT query_id, q.cell AS cell, vec_id,
+         |  SELECT query_id, c.cell AS cell, vec_id,
          |    $cosineSql AS cos_exact
          |  FROM q JOIN c ON q.cell = c.cell WHERE query_id <> vec_id),
          |ranked AS (
