@@ -24,39 +24,84 @@ case class MediaFeatures(
   * per-partition setup (model load, decoder init) across rows — the
   * Scala analogue of a batched Pandas UDF.
   *
-  * The decoder itself is a clearly-marked deterministic STUB (no media
-  * codecs exist in this environment); everything around it — schema,
-  * typed Dataset plumbing, partition-local batching, downstream
-  * relational use of the features — is real and tested. At 100 TB:
-  * payloads stay columnar parquet binary, scans prune to the payload +
-  * key columns only, and decode parallelism is input-partition
-  * parallelism (no shuffle until the feature aggregate).
+  * The decoder tries a REAL image decode first (`javax.imageio` — JDK
+  * built-in readers: PNG, BMP, GIF, JPEG, WBMP, TIFF) and reads the true
+  * width/height/frame-count from the header without materializing pixel
+  * rasters; payloads no reader recognizes (audio/video — no codecs in
+  * this environment) fall back to a clearly-marked deterministic STUB.
+  * Everything around the decode — schema, typed Dataset plumbing,
+  * partition-local batching, downstream relational use of the features —
+  * is identical on both paths. At 100 TB: payloads stay columnar parquet
+  * binary, scans prune to the payload + key columns only, and decode
+  * parallelism is input-partition parallelism (no shuffle until the
+  * feature aggregate).
   */
 object MediaPipeline {
 
+  /** Payload checksum, shared by both decode paths (stands in for a
+    * content fingerprint the dedup stage would key on).
+    */
+  def payloadChecksum(payload: Array[Byte]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < payload.length) { crc = (crc * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
+    crc
+  }
+
+  /** Real image decode via `javax.imageio`: header-only — asks the
+    * matched reader for dimensions and frame count, never decodes pixel
+    * data, so cost is O(header) not O(pixels). Returns None when no
+    * JDK reader recognizes the payload (then the stub takes over).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (payload.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val frames =
+              try { val n = r.getNumImages(true); if (n > 0) n else 1 }
+              catch { case _: Exception => 1 }
+            Some((w, h, frames, payloadChecksum(payload)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** STUB decoder — deterministic function of the payload bytes standing
-    * in for a real image/audio decode. A production deployment swaps
-    * this body for e.g. a JNI codec call; the signature and the
-    * pipeline around it do not change.
+    * in for the codecs this environment lacks (audio/video). A production
+    * deployment swaps this body for e.g. a JNI codec call; the signature
+    * and the pipeline around it do not change.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
     val n = payload.length
-    var crc = 0L
-    var i = 0
-    while (i < n) { crc = (crc * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
-    (32 + n % 97, 32 + (n * 7) % 89, 1 + n % 16, crc)
+    (32 + n % 97, 32 + (n * 7) % 89, 1 + n % 16, payloadChecksum(payload))
   }
+
+  /** Full decode: real image readers first, stub fallback. */
+  def decode(payload: Array[Byte]): (Int, Int, Int, Long) =
+    decodeImage(payload).getOrElse(decodeStub(payload))
 
   /** Decode + feature-extract, partition-local. The `mapPartitions`
     * boundary is where a real pipeline initializes its decoder once per
-    * partition (not once per row).
+    * partition (not once per row) — `ImageIO` readers are looked up per
+    * payload via the registry, which is JVM-static (loaded once).
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map { r =>
-        val (w, h, f, crc) = decodeStub(r.payload)
+        val (w, h, f, crc) = decode(r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, crc)
       }
     }

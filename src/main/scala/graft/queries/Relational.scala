@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
+import graft.core.Skew
 import graft.sources.Tables
 
 /** Relational operator coverage over the TPC-H-ish testdata.
@@ -391,7 +392,28 @@ object Relational extends QueryModule {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** Skew-mitigated fact⋈dim join under the oracle: every events key is
+    * hot (150 distinct user_ids over the whole table — the worst case
+    * where per-key volume grows linearly with data), and the join runs
+    * through [[graft.core.Skew.saltedInnerJoin]] so the shuffle key is
+    * (user_id, __salt): each hot key spreads over 8 reduce partitions.
+    * Result is row-identical to the plain join (the oracle computes the
+    * plain join), summed as exact cents so order-of-addition is moot.
+    * ScaleUtilsSpec asserts `__salt` is in the exchange's partitioning.
+    */
+  def q27SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events.select(col("user_id"), col("value"))
+    val cust = t.customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedInnerJoin(ev, cust, "user_id", numSalts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_skew_join" -> (q27SkewJoin _),
     "q26_array_agg" -> (q26ArrayAgg _),
     "q25_json" -> (q25Json _),
     "q23_correlated" -> (q23Correlated _),
@@ -421,6 +443,11 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q26_array_agg" ->
       """SELECT o_custkey,
         | array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))), ',') AS order_years,

@@ -53,12 +53,14 @@ object WordCountQueries extends QueryModule {
   /** Reference hash partitioning (`hashFunc`, `mpi_mapreduce.c:108-117`):
     * words per 256-way bucket. Semantics-invisible for the aggregate
     * (any total partitioning works — SURVEY §2.4) but reproduced exactly
-    * as a codegen'd expression; the oracle replays the same 32-bit
-    * arithmetic in DuckDB via a list fold.
+    * as a codegen'd expression folding over UTF-8 BYTES (the C loop walks
+    * `char*`, so multi-byte codepoints take multiple fold steps); the
+    * oracle replays the same 32-bit arithmetic in DuckDB via a list fold
+    * over the hex-decoded bytes of `encode(word)`.
     */
   def wcHashPartition(s: SparkSession, dir: String): DataFrame =
     WordCount.count(lines(s, dir))
-      .select(RefHash.ref_hash(col("word")).as("bucket"))
+      .select(RefHash.ref_hash_bytes(col("word")).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_words"))
       .orderBy("bucket")
@@ -113,9 +115,12 @@ object WordCountQueries extends QueryModule {
          |  SELECT CAST(
          |    list_reduce(
          |      list_prepend(0::BIGINT,
-         |        list_transform(range(1, length(word) + 1),
-         |                       i -> ord(substr(word, CAST(i AS INTEGER), 1))::BIGINT)),
-         |      (h, c) -> xor(xor((h * 16) & 4294967295, h), c) & 4294967295
+         |        list_transform(range(1, octet_length(encode(word)) + 1),
+         |          i -> ((strpos('0123456789ABCDEF',
+         |                        substr(hex(encode(word)), CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
+         |              + (strpos('0123456789ABCDEF',
+         |                        substr(hex(encode(word)), CAST(2*i AS INTEGER), 1)) - 1))::BIGINT)),
+         |      (h, b) -> xor(xor((h * 16) & 4294967295, h), b) & 4294967295
          |    ) & 255 AS INTEGER) AS bucket
          |  FROM wc)
          |SELECT bucket, count(*) AS n_words FROM hashed

@@ -9,6 +9,47 @@ class MediaPipelineSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("decodeImage reads real width/height from PNG, BMP, GIF headers") {
+    Seq("png", "bmp", "gif").foreach { fmt =>
+      val bytes = encodeImage(fmt, 37, 21)
+      val decoded = MediaPipeline.decodeImage(bytes)
+      assert(decoded.isDefined, s"$fmt not recognized")
+      val (w, h, frames, crc) = decoded.get
+      assert(w === 37, fmt)
+      assert(h === 21, fmt)
+      assert(frames === 1, fmt)
+      assert(crc === MediaPipeline.payloadChecksum(bytes))
+    }
+  }
+
+  test("decodeImage rejects non-image payloads; decode falls back to the stub") {
+    val txt = "not an image, just prose long enough to sniff".getBytes("UTF-8")
+    assert(MediaPipeline.decodeImage(txt).isEmpty)
+    assert(MediaPipeline.decode(txt) === MediaPipeline.decodeStub(txt))
+  }
+
+  test("extractFeatures carries real decoded dims through the Dataset pipeline") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "img", encodeImage("png", 64, 48)),
+      MediaRow(2L, "img", encodeImage("bmp", 120, 80)),
+      MediaRow(3L, "txt", "plain text payload".getBytes("UTF-8")))
+    val feats = MediaPipeline.extractFeatures(spark, spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 64 && feats(1L).height === 48)
+    assert(feats(2L).width === 120 && feats(2L).height === 80)
+    val stub = MediaPipeline.decodeStub("plain text payload".getBytes("UTF-8"))
+    assert(feats(3L).width === stub._1 && feats(3L).height === stub._2)
+  }
+
   test("decodeStub is deterministic and in documented ranges") {
     val p = "hello media".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p)

@@ -22,6 +22,34 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(plan.contains("__salt"), "salt column must participate in the join")
   }
 
+  test("q27_skew_join shuffles on (user_id, __salt) and equals the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    // Disable broadcast so the salted SHUFFLE path materializes (at real
+    // scale the premise is a right side too big to broadcast; at sf0.001
+    // Catalyst would rightly broadcast it and hide the exchange).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = graft.sources.Tables(spark, dir)
+      val ev = t.events.select(col("user_id"), col("value"))
+      val cust = t.customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val salted = Skew.saltedInnerJoin(ev, cust, "user_id", 8)
+      val plan = salted.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"__salt must be in the exchange's shuffle key:\n$plan")
+
+      val viaQuery = graft.queries.Relational.q27SkewJoin(spark, dir)
+        .collect().map(_.toString).toSeq
+      val plain = ev.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy("c_mktsegment")
+        .collect().map(_.toString).toSeq
+      assert(viaQuery == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedCount == plain count per key") {
     import spark.implicits._
     val df = (Seq.fill(300)("hot") ++ Seq("a", "b", "b")).toDF("k")
