@@ -9,10 +9,7 @@ import org.apache.spark.sql.functions._
   * oversized partitions at runtime), and partial aggregation absorbs
   * skewed GROUP BY keys. Salting is the remaining tool for the
   * pathological case: an equi-join where a handful of keys dominate and
-  * one side is too large to broadcast. We salt DETERMINISTICALLY
-  * (hash of the probe row, not rand()) so retried tasks produce
-  * identical output — a requirement for Spark's task-retry model on a
-  * real cluster.
+  * one side is too large to broadcast.
   */
 object Skew {
 
@@ -25,6 +22,19 @@ object Skew {
     * row; cost is n× the right side's shuffle volume — choose the
     * smaller input as `right` and n ≈ (hottest-key rows / average
     * partition capacity).
+    *
+    * The salt is a partition-local counter
+    * (`monotonically_increasing_id` = partitionId·2³³ + row index, taken
+    * mod n), NOT a hash of the row: a row hash sends IDENTICAL rows to
+    * the same salt, so the worst skew case — millions of duplicate rows
+    * on one hot key — would not spread at all. The counter round-robins
+    * every run of rows, duplicates included, across all n salts.
+    * Retry-safety: the salt value a left row gets cannot change which
+    * right row it matches — the right side carries ALL n salts for every
+    * key, so each left row joins exactly once whatever its salt — hence
+    * the OUTPUT is deterministic under task retry even if a recomputed
+    * partition enumerates rows in a different order; only the (already
+    * heuristic) load balance could shift.
     */
   def saltedInnerJoin(
       left: DataFrame,
@@ -33,7 +43,7 @@ object Skew {
       numSalts: Int): DataFrame = {
     require(numSalts > 0)
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(numSalts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int"))
     val salts = explode(sequence(lit(0), lit(numSalts - 1)))
     val saltedRight = right.withColumn("__salt", salts)
     saltedLeft
@@ -52,8 +62,10 @@ object Skew {
     */
   def saltedCount(df: DataFrame, key: String, numSalts: Int): DataFrame = {
     require(numSalts > 0)
+    // Partition-local counter, not a row hash — same rationale as
+    // saltedInnerJoin: duplicate rows of the hot key must still spread.
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(numSalts)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -56,13 +56,28 @@ object MediaPipeline {
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (payload.length < 8) return None
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the latter defaults to a FileCacheImageInputStream that creates
+      // and deletes a temp file on local disk per payload — hidden
+      // per-row I/O in a path documented as O(header). The payload is
+      // already fully in memory.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
+        // Skip the WBMP reader: the format has no magic number and its
+        // canDecodeInput heuristic claims arbitrary binary starting with
+        // 0x00 bytes (common in real audio/video containers), returning
+        // garbage dimensions instead of falling through to the stub.
+        var picked: javax.imageio.ImageReader = null
+        while (picked == null && readers.hasNext) {
+          val c = readers.next()
+          if (c.getFormatName.equalsIgnoreCase("wbmp")) c.dispose()
+          else picked = c
+        }
+        if (picked == null) None
         else {
-          val r = readers.next()
+          val r = picked
           try {
             r.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
             val w = r.getWidth(0)

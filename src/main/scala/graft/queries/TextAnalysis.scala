@@ -129,8 +129,12 @@ object TextAnalysis extends QueryModule {
     val terms = docs
       .select(col("doc_id"), explode(filter(toks, t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // document frequency: `terms` is already one row per (doc_id, term),
+    // so a plain count IS the distinct-doc count — countDistinct here
+    // would plan a second Expand+Exchange distinct-aggregate for nothing
+    // (at 100 TB, a full extra shuffle of the term table).
     val df = terms.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df_count"))
+      .agg(count(lit(1)).as("df_count"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))

@@ -75,7 +75,12 @@ class RefHashSpec extends SparkSpec {
     Seq("the", "1871", "...").foreach { w =>
       assert(byWord(w)._1 === byWord(w)._2, s"ASCII word $w should agree")
     }
-    // 'é' is 2 bytes: the byte fold takes one more step than the char fold.
+    // 'é' is 2 bytes: the byte fold takes one more step than the char
+    // fold — assert the divergence itself, not just the byte fold's
+    // value, so a regression that collapsed ref_hash_bytes back to a
+    // char fold is caught.
     assert(byWord("éclair")._2 === RefHash.refHashExact("éclair"))
+    assert(byWord("éclair")._1 !== byWord("éclair")._2,
+      "char and byte folds must diverge on multi-byte UTF-8")
   }
 }

@@ -22,6 +22,30 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(plan.contains("__salt"), "salt column must participate in the join")
   }
 
+  test("identical duplicate rows on one hot key spread across all salts") {
+    import spark.implicits._
+    // The worst case a row-hash salt cannot spread: every left row is
+    // byte-identical. The partition-local counter must still round-robin
+    // them over the n salts.
+    val n = 8
+    val left = Seq.fill(4000)((1, "same")).toDF("k", "lv").repartition(4)
+    val salted = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(n.toLong)).cast("int"))
+    val perSalt = salted.groupBy("__salt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perSalt.keySet == (0 until n).toSet, s"all $n salts must be hit: $perSalt")
+    val max = perSalt.values.max.toDouble
+    val min = perSalt.values.min.toDouble
+    assert(max / min < 2.0, s"spread must be near-uniform: $perSalt")
+    // and the join result is still exactly the plain join
+    val right = Seq((1, "r1"), (2, "r2")).toDF("k", "rv")
+    val a = Skew.saltedInnerJoin(left, right, "k", n)
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    val b = left.join(right, "k")
+      .select("k", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("q27_skew_join shuffles on (user_id, __salt) and equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     // Disable broadcast so the salted SHUFFLE path materializes (at real
