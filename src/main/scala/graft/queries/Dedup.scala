@@ -44,14 +44,38 @@ object Dedup extends QueryModule {
       .otherwise(array(concat_ws(" ", w)))
   }
 
-  /** documents staged to (doc_id, lang, sh). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+  /** documents (doc_id, lang, text) staged to (doc_id, lang, sh). */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), words.as("w"))
       .select(col("doc_id"), col("lang"), shingles(col("w")).as("sh"))
 
+  /** documents staged to (doc_id, lang, sh). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleDocs(Tables(s, dir).documents)
+
   private val NumHashes = 8
   private val Bands = 4 // 2 hashes per band
+
+  /** Hot-key caps for the candidate joins — the boilerplate guard.
+    *
+    * A shingle shared by k documents contributes k² rows to the postings
+    * self-join; in real crawl data boilerplate (license headers,
+    * navigation chrome) makes k ≈ corpus size, turning one key into a
+    * quadratic straggler that kills the job at 100 TB. An
+    * everywhere-shingle carries no dedup signal, so the standard
+    * mitigation is to DROP postings longer than a cap before the join,
+    * bounding candidate generation at O(n·cap). [[BandCap]] applies the
+    * same guard to the minhash band join's buckets (a degenerate band —
+    * e.g. every near-empty doc hashing to one signature — is a collision
+    * cluster, not evidence of n² distinct near-dup pairs).
+    *
+    * Both caps are replayed bit-for-bit by the DuckDB oracles, so the two
+    * engines agree at every scale factor; at the gate corpora they are
+    * inert (measured max posting length 14, max band bucket 13 at sf0.1).
+    */
+  val PostingCap = 64
+  val BandCap = 64
 
   /** Exact dedup: md5 over canonicalized text, keep the smallest doc_id
     * per group. One hash-aggregate shuffle on a 16-byte key; at 100 TB
@@ -105,10 +129,24 @@ object Dedup extends QueryModule {
         struct(lit(b).as("band_idx"),
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    // Drop degenerate band buckets (> BandCap members) before the
+    // self-join — see [[BandCap]]. Count-then-semi-join, NOT
+    // collect_list-then-filter: a grouped list for the hot bucket would
+    // hold every member in one aggregation buffer (the very blowup the
+    // cap exists to prevent); counting is constant-space and map-side
+    // combined.
+    val okBands = bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bc"))
+      .where(col("bc") <= BandCap)
+      .select("band_idx", "band_val")
+    // shuffle_hash on the survivor set: at scale it is the (near-)full
+    // distinct band-key table — never broadcast-able
+    val keptBands = bands
+      .join(okBands.hint("shuffle_hash"), Seq("band_idx", "band_val"), "left_semi")
       // same rationale as the postings join: shuffle on the band key,
       // never broadcast a signature table
       .hint("shuffle_hash")
-    val cand = bands.as("x").join(bands.as("y"),
+    val cand = keptBands.as("x").join(keptBands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -156,25 +194,36 @@ object Dedup extends QueryModule {
     * to genuinely-shared content, and it's all hash shuffles on
     * high-cardinality keys. |∪| falls out of the sizes:
     * |A∪B| = |A| + |B| − |A∩B|. Pairs with no shared shingle can never
-    * reach J ≥ 0.2, so skipping them is semantics-preserving. At 100 TB
-    * the one skew risk is a super-frequent shingle (boilerplate); the
-    * standard mitigation — drop postings longer than a cap before the
-    * join — plugs in as one extra filter on the grouped index.
+    * reach J ≥ 0.2, so skipping them is semantics-preserving.
+    *
+    * The one skew risk — a super-frequent boilerplate shingle whose k²
+    * join rows dwarf everything else — is capped: postings longer than
+    * [[PostingCap]] are dropped from the index before the self-join, and
+    * doc sizes are recomputed over the KEPT postings so Jaccard is
+    * measured on the non-boilerplate shingle space consistently in both
+    * numerator and denominator. The DuckDB oracle replays the identical
+    * cap.
     */
-  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // persist: feeds the size table and BOTH postings self-join branches
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), col("lang"), array_distinct(col("sh")).as("sh"))
-      .persist()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // shuffle_hash hint: Spark would otherwise BROADCAST one side of the
-    // self-join — rebuilding the whole shingle pipeline for the build
-    // side AND collecting every posting to the driver, which is exactly
-    // what must not happen at 100 TB. A shuffled hash join keys both
-    // sides on (lang, shingle) — the scalable shape.
-    val postings = sh.select(col("lang"), col("doc_id"), explode(col("sh")).as("shingle"))
-      .hint("shuffle_hash")
-    val common = postings.as("x").join(postings.as("y"),
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(shingleDocs(Tables(s, dir).documents), PostingCap)
+
+  /** Core of [[ddNgramJaccard]]: `staged` is (doc_id, lang, sh) from
+    * [[shingleDocs]]; cap-parameterized so tests can exercise the
+    * hot-shingle guard on a synthetic boilerplate corpus.
+    */
+  private[graft] def ngramJaccard(staged: DataFrame, cap: Int): DataFrame = {
+    // persist: feeds the size table and BOTH candidate self-join branches
+    // — without it the shingle pipeline + cap re-runs three times.
+    val kept = cappedPostings(staged, cap).persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    // shuffle_hash hint (on the join inputs, not the shared persisted df —
+    // a hint on `kept` would also dangle over the `sizes` branch): Spark
+    // would otherwise BROADCAST one side of the self-join — rebuilding the
+    // whole shingle pipeline for the build side AND collecting every
+    // posting to the driver, which is exactly what must not happen at
+    // 100 TB. A shuffled hash join keys both sides on (lang, shingle) —
+    // the scalable shape.
+    val common = kept.as("x").hint("shuffle_hash").join(kept.as("y").hint("shuffle_hash"),
         col("x.lang") === col("y.lang") && col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -187,6 +236,31 @@ object Dedup extends QueryModule {
       .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
         round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Capped postings index: explode each doc's distinct shingles, count
+    * postings per (lang, shingle), keep only those within the cap, and
+    * semi-join the postings against the survivors. Count-then-semi-join
+    * rather than collect_list-then-filter: a grouped doc list for the
+    * hot shingle would hold k doc_ids in ONE aggregation buffer — the
+    * memory blowup the cap exists to prevent — while counting is
+    * constant-space and map-side combined. Both shuffles key on
+    * (lang, shingle), the same key the candidate self-join uses.
+    * (Package-visible for the hot-shingle spec.)
+    */
+  private[graft] def cappedPostings(staged: DataFrame, cap: Int): DataFrame = {
+    val postings = staged
+      .select(col("lang"), col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val ok = postings.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("pc"))
+      .where(col("pc") <= cap)
+      .select("lang", "shingle")
+    // shuffle_hash on the survivor set: it is the distinct-shingle table
+    // minus the hot keys — billions of keys at 100 TB, never
+    // broadcast-able. Both semi-join sides then shuffle on
+    // (lang, shingle), and the postings exchange is reused by the
+    // counting aggregate above.
+    postings.join(ok.hint("shuffle_hash"), Seq("lang", "shingle"), "left_semi")
   }
 
   private def dot(x: Column, y: Column): Column = {
@@ -379,9 +453,15 @@ object Dedup extends QueryModule {
          |  FROM s JOIN mins ON s.doc_id = mins.doc_id
          |), bands AS (
          |  $bandSelects
+         |), okb AS (
+         |  SELECT band_idx, band_val FROM bands
+         |  GROUP BY band_idx, band_val HAVING count(*) <= $BandCap
+         |), kband AS (
+         |  SELECT b.doc_id, b.band_idx, b.band_val
+         |  FROM bands b JOIN okb USING (band_idx, band_val)
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
+         |  FROM kband x JOIN kband y
          |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
          |   AND x.doc_id < y.doc_id
          |)
@@ -405,15 +485,34 @@ object Dedup extends QueryModule {
          |  FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashBits AS INTEGER) AS simhash16
          |FROM sums ORDER BY doc_id""".stripMargin,
+    // Replays the capped-postings formulation exactly: postings index of
+    // distinct shingles, hot shingles (> PostingCap docs) dropped, sizes
+    // recomputed over kept postings, |A∪B| = na + nb − n_common.
     "dd_ngram_jaccard" ->
-      s"""$shingleCte
-         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_common,
-         |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INTEGER) AS n_union,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(list_distinct(list_concat(a.sh, b.sh)))
+      s"""$shingleCte, p AS (
+         |  SELECT lang, doc_id, unnest(list_distinct(sh)) AS shingle FROM s
+         |), ok AS (
+         |  SELECT lang, shingle FROM p
+         |  GROUP BY lang, shingle HAVING count(*) <= $PostingCap
+         |), kept AS (
+         |  SELECT p.lang, p.doc_id, p.shingle FROM p JOIN ok USING (lang, shingle)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id
+         |), common AS (
+         |  SELECT x.lang AS lang, x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM kept x JOIN kept y
+         |    ON x.lang = y.lang AND x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT c.lang, c.doc_a, c.doc_b,
+         |  CAST(c.n_common AS INTEGER) AS n_common,
+         |  CAST(a.n_sh + b.n_sh - c.n_common AS INTEGER) AS n_union,
+         |  round(c.n_common::DOUBLE / (a.n_sh + b.n_sh - c.n_common), 6) AS jaccard
+         |FROM common c
+         |JOIN sizes a ON a.doc_id = c.doc_a
+         |JOIN sizes b ON b.doc_id = c.doc_b
+         |WHERE c.n_common * 5 >= a.n_sh + b.n_sh - c.n_common
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_near" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
