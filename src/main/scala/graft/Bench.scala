@@ -23,26 +23,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Diagnostic knob (BENCH_NOTES.md): SPARK_GRAFT_KEEP_CACHE=1 re-creates
+    // round 1's harness bug — caches persisted by a query's warm-up run
+    // survive into its timed run, under-measuring every query that
+    // persist()s. Default (unset) is the honest measurement.
+    val keepCache = sys.env.get("SPARK_GRAFT_KEEP_CACHE").contains("1")
     def exec(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       // dedup queries persist() staged signature tables; drop them so one
       // query's cache never skews the next timing (or accumulates memory)
-      spark.catalog.clearCache()
+      if (!keepCache) spark.catalog.clearCache()
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try exec(n)
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
     }
+    // Three timed passes, report the per-query MIN. Single runs proved
+    // untrustworthy: BENCH_r01 vs r02 showed 2–6× swings on queries whose
+    // code had not changed, and the slow cluster moves between runs
+    // (transient host load / major GC) — see BENCH_NOTES.md. Timing noise
+    // on a quiet plan is strictly additive, so min-of-3 is the best
+    // estimate of plan cost; all samples ship in "queries_runs" so the
+    // spread stays visible. Passes are interleaved (full sweep, repeat)
+    // so one transient stall can't taint all samples of one query.
     // A failing query reports null (and an errors entry) — never its
     // time-to-failure as if it were a legitimate timing.
-    val results: Seq[(String, Either[String, Double])] = names.map { name =>
-      val t0 = System.nanoTime()
-      try { exec(name); name -> Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable =>
-        name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    val Passes = 3
+    val samples: Seq[Seq[(String, Either[String, Double])]] =
+      (1 to Passes).map { _ =>
+        names.map { name =>
+          val t0 = System.nanoTime()
+          try { exec(name); name -> Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+        }
       }
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
+      val runs = samples.map(_.toMap.apply(name))
+      val ok = runs.collect { case Right(v) => v }
+      if (ok.nonEmpty) name -> Right(ok.min)
+      else name -> runs.head
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -55,6 +78,13 @@ object Bench {
       case (k, Right(v)) => jstr(k) + ":" + v
       case (k, Left(_))  => jstr(k) + ":null"
     }.mkString("{", ",", "}")
+    val runsJson = names.map { name =>
+      val rs = samples.map(_.toMap.apply(name)).map {
+        case Right(v) => v.toString
+        case Left(_)  => "null"
+      }
+      jstr(name) + ":[" + rs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
@@ -62,7 +92,12 @@ object Bench {
     // Headline vs BASELINE.md: word count over the reference's own corpus
     // (file_chunks_130, ~13 MB, ~2.35 M tokens; reference best = 0.7 s on
     // 160 cores). Warm once, report best of 3.
-    val corpus = "/root/reference/file_chunks_130/*.txt"
+    // Directory, not a "*.txt" glob: all 130 chunk files are .txt, and a
+    // glob makes DataFrameReader's FileStreamSink-metadata probe stat the
+    // glob string itself, logging a benign FileNotFoundException stack
+    // trace to stderr on every run — a clean record run must not print
+    // exception traces.
+    val corpus = "/root/reference/file_chunks_130"
     val wcTimes =
       try {
         def once(): Double = {
@@ -81,7 +116,7 @@ object Bench {
     // JSON — the driver parses the last clean stdout line.
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errors,"n_failed":$nFailed,""" +
+      s""""queries_runs":$runsJson,"errors":$errors,"n_failed":$nFailed,""" +
       s""""wc_corpus_130_sec":$wcBest,"wc_corpus_tokens_per_sec":$tokPerSec,"sf":"$sfDir"}""")
   }
 }
