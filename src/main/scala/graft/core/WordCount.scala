@@ -46,13 +46,33 @@ object WordCount {
   def ingest(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.text(paths: _*).where(col("value") =!= "")
 
+  /** BYTE FIDELITY (SURVEY §1 parity warning, resolved): `spark.read
+    * .text` does NOT decode — it stores each line's raw file bytes in a
+    * `UTF8String` verbatim, so invalid-UTF-8 input (the C engine's
+    * signed `char*` world, `mpi_mapreduce.c:133-161`) flows through the
+    * whole pipeline byte-exactly: tokenize splits on the 0x20 byte,
+    * [[normalize]] walks raw bytes exactly like the C, `groupBy`
+    * compares raw bytes, `octet_length` IS `strlen`, and the text sink
+    * writes the bytes back out unchanged. U+FFFD replacement happens
+    * only when a value is materialized to a JVM String (collect/show)
+    * or re-encoded (`encode`) — display, not semantics. Pinned by
+    * EncodingFidelitySpec; `hex(col)` observes the raw bytes.
+    */
+
   /** Tokenize: split on single space ONLY (`getWord`,
     * `mpi_mapreduce.c:119-131` — not tab, not `\r`). Consecutive spaces
     * yield empty tokens, dropped after normalize (as the reference does
-    * at `mpi_mapreduce.c:324`).
+    * at `mpi_mapreduce.c:324`). Uses the byte-level
+    * [[graft.functions.ByteSplit]] — bit-identical to
+    * `split(value, " ", -1)` on valid UTF-8 but raw-byte-preserving on
+    * invalid input (EncodingFidelitySpec) and regex-free in the hot path.
     */
-  def tokenize(lines: DataFrame): DataFrame =
-    lines.select(explode(split(col("value"), " ", -1)).as("tok"))
+  def tokenize(lines: DataFrame): DataFrame = {
+    val toks = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.ByteSplit(
+        org.apache.spark.sql.graft.Bridge.expression(col("value"))))
+    lines.select(explode(toks).as("tok"))
+  }
 
   /** Normalize (`normalizeWord`, `mpi_mapreduce.c:133-161`): the custom
     * codegen'd Catalyst expression [[graft.functions.NormalizeWord]] —
