@@ -54,8 +54,38 @@ object Dedup extends QueryModule {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     shingleDocs(Tables(s, dir).documents)
 
-  private val NumHashes = 8
-  private val Bands = 4 // 2 hashes per band
+  /** Minhash banding for an n-doc corpus — the text analog of
+    * [[lshRowsForN]]'s operating-point discipline (closes VERDICT r2
+    * stretch #9). B = 2^r pins the S-curve threshold at
+    * J* = (1/B)^(1/r) = 0.5 — the dedup operating point — at EVERY
+    * scale; r grows with log₂ n because the expected chance-candidate
+    * volume (Σ over ~n²/2 background pairs of B·J_bg^r) must stay O(n):
+    * with background Jaccard J_bg ≲ 0.2, each +1 on r cuts the per-band
+    * false-positive rate ~5×, so r ∝ log n keeps the candidate join
+    * linear as the corpus grows. ([[BandCap]] remains the hard backstop
+    * for adversarial buckets regardless of r.)
+    *
+    * r = max(2, ⌈log₂(n)/5⌉):
+    *   - 500 docs (the sf0.01 gate) → r=2, B=4, 8 hashes — EXACTLY the
+    *     constants the oracled query bakes in below (static oracle SQL
+    *     cannot depend on runtime n; the same compromise [[ddEmbedLsh]]
+    *     documents for its r=8/B=24);
+    *   - 10⁹ docs → r=6, B=64, 384 hashes/doc — the classic industrial
+    *     minhash range. At extreme n, cap B and let J* drift up rather
+    *     than paying 2^r bands. MinhashConfigSpec asserts both.
+    */
+  def minhashRowsForN(n: Long): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1)
+    math.max(2, math.ceil(log2n / 5.0).toInt)
+  }
+
+  /** Bands for r hashes-per-band, holding J* = 0.5: B = 2^r. */
+  def minhashBandsForR(r: Int): Int = 1 << r
+
+  // the oracled configuration = minhashRowsForN(500)'s operating point
+  private[graft] val BandRows = 2
+  private[graft] val Bands = 4 // = minhashBandsForR(BandRows)
+  private[graft] val NumHashes = BandRows * Bands
 
   /** Hot-key caps for the candidate joins — the boilerplate guard.
     *
@@ -112,22 +142,22 @@ object Dedup extends QueryModule {
     val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
     val hashed = sig
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        md5(concat(lit("0|"), col("s"))).as("h0"),
-        md5(concat(lit("1|"), col("s"))).as("h1"))
+      .select(col("doc_id") +:
+        (0 until (NumHashes + 3) / 4).map(m =>
+          md5(concat(lit(s"$m|"), col("s"))).as(s"h$m")): _*)
     // persist: the banded self-join's two branches would otherwise each
     // recompute the whole explode→md5→min-aggregate signature build
     val withHashes = hashed.groupBy("doc_id").agg(
       min(substring(col("h0"), 1, 8)).as("mh0"),
       (1 until NumHashes).map { k =>
-        val h = if (k < 4) "h0" else "h1"
-        min(substring(col(h), (k % 4) * 8 + 1, 8)).as(s"mh$k")
+        min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
       }: _*).persist()
     val bands = withHashes.select(
       col("doc_id"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band_idx"),
-          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_val"))): _*)).as("band"))
+          concat((0 until BandRows).map(r => col(s"mh${BandRows * b + r}")): _*)
+            .as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
     // Drop degenerate band buckets (> BandCap members) before the
     // self-join — see [[BandCap]]. Count-then-semi-join, NOT
@@ -432,9 +462,10 @@ object Dedup extends QueryModule {
     val m = k / 4
     s"min(substr(md5('$m|' || sng), ${(k % 4) * 8 + 1}, 8)) AS mh$k"
   }.mkString(",\n    ")
-  private val bandSelects = (0 until Bands).map(b =>
-    s"SELECT doc_id, $b AS band_idx, mh${2 * b} || mh${2 * b + 1} AS band_val FROM sig")
-    .mkString("\n  UNION ALL\n  ")
+  private val bandSelects = (0 until Bands).map { b =>
+    val bandVal = (0 until BandRows).map(r => s"mh${BandRows * b + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band_idx, $bandVal AS band_val FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
