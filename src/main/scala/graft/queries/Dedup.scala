@@ -377,13 +377,29 @@ object Dedup extends QueryModule {
     * be missed — the oracle replays the identical hyperplanes, so the
     * hash-compare is still exact.
     */
+  /** The compositional signature build — [[LshBits]] separate dots, one
+    * array read each. Semantically identical to [[fusedSig]] (asserted in
+    * EmbedLshSpec); kept as the cross-check oracle for the fused kernel.
+    */
+  private[graft] def sigViaDots: Column =
+    concat((0 until LshBits).map(j =>
+      when(dot(col("embedding"), typedlit(hyperplanes(j))) >= 0, "+").otherwise("-")): _*)
+
+  /** One-pass fused signature: all [[LshBits]] accumulators over a single
+    * traversal of the embedding ([[graft.functions.HyperplaneSig]]).
+    */
+  private[graft] def fusedSig: Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.HyperplaneSig(
+      Bridge.expression(col("embedding")), LshBits, EmbedDims,
+      hyperplanes.flatten.toArray))
+  }
+
   def ddEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val sigBits = (0 until LshBits).map(j =>
-      when(dot(col("embedding"), typedlit(hyperplanes(j))) >= 0, "+").otherwise("-"))
-    val sig = e.select(col("vec_id"), concat(sigBits: _*).as("sig"))
+    val sig = e.select(col("vec_id"), fusedSig.as("sig"))
     val bands = sig.select(
       col("vec_id"),
       explode(array((0 until LshBands).map(b =>

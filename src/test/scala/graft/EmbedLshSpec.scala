@@ -35,6 +35,18 @@ class EmbedLshSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("fused one-pass signature is bit-identical to the 192-dot compositional form") {
+    import graft.queries.Dedup
+    val rows = embeddings
+      .select(Dedup.fusedSig.as("fused"), Dedup.sigViaDots.as("dots"))
+      .where(col("fused") =!= col("dots"))
+      .count()
+    assert(rows === 0L, s"$rows vectors sign differently under the fused kernel")
+    // and the signature is the full-width banding input
+    val len = embeddings.select(length(Dedup.fusedSig)).collect()(0).getInt(0)
+    assert(len === 192)
+  }
+
   test("lshRowsForN grows with log2(n) — collision budget stays linear") {
     import graft.queries.Dedup.lshRowsForN
     assert(lshRowsForN(500) == 9)
