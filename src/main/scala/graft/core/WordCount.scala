@@ -136,9 +136,25 @@ object WordCount {
     * one part-file per partition, merged by concatenation
     * (`mpi_mapreduce.c:278-289`, `mpi_mm.sub:11`). Output is unordered —
     * comparisons must be order-insensitive (SURVEY §2.10).
+    *
+    * `byRefHash = true` reproduces the reference's file LAYOUT as well as
+    * its contents: the reference writes one file per reducer, and a
+    * word's reducer is `hashFunc(word) % nReducers`
+    * (`mpi_mapreduce.c:108-117,278-289`) — here a repartition keyed on
+    * the byte-exact [[graft.functions.RefHash]] bucket, so part-file i
+    * holds exactly the words whose reference hash lands in bucket-class
+    * i. Semantics-invisible for the counts (any total partitioning
+    * works); off by default because hash-partitioned output is the
+    * cosmetic parity knob, not the fastest layout.
     */
-  def sink(counts: DataFrame, outDir: String, partitions: Int = 0): Unit = {
-    val df = if (partitions > 0) counts.repartition(partitions) else counts
+  def sink(counts: DataFrame, outDir: String, partitions: Int = 0,
+      byRefHash: Boolean = false): Unit = {
+    val df =
+      if (byRefHash && partitions > 0)
+        counts.repartition(partitions,
+          graft.functions.RefHash.ref_hash_bytes(col("word")))
+      else if (partitions > 0) counts.repartition(partitions)
+      else counts
     df.select(concat_ws(" ", col("word"), col("count")))
       .write.mode("overwrite").text(outDir)
   }

@@ -26,6 +26,45 @@ class SinkAndRuleSpec extends SparkSpec {
     assert(parts == 3)
   }
 
+  test("byRefHash sink reproduces the reference's reducer file layout") {
+    import spark.implicits._
+    import graft.functions.RefHash
+    // enough distinct words that buckets spread across files — all-alpha
+    // so normalize keeps them distinct (digits would be end-stripped)
+    val words = (0 until 200)
+      .map(i => s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val counts = WordCount.count(Seq(words).toDF("value"))
+    val out = Files.createTempDirectory("graft-sink-rh").toString + "/wc"
+    val nParts = 4
+    WordCount.sink(counts, out, partitions = nParts, byRefHash = true)
+    // reference layout invariant (mpi_mapreduce.c:278-289): each word
+    // lives in the file its hashFunc bucket maps to — so every bucket
+    // appears in exactly ONE part-file
+    val fileOfBucket = scala.collection.mutable.Map[Int, String]()
+    val expected = counts
+      .select(col("word"), RefHash.ref_hash_bytes(col("word")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val partFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // Spark writes a file per NON-EMPTY partition (the reference writes
+    // empty reducer files; concat-merge makes that invisible) — the
+    // layout property under test is bucket→file exclusivity below
+    assert(partFiles.length >= 2 && partFiles.length <= nParts)
+    for (f <- partFiles; line <- scala.io.Source.fromFile(f).getLines()) {
+      val word = line.split(" ", 2)(0)
+      val bucket = expected(word)
+      fileOfBucket.get(bucket) match {
+        case Some(prev) => assert(prev == f.getName,
+          s"bucket $bucket split across $prev and ${f.getName}")
+        case None => fileOfBucket(bucket) = f.getName
+      }
+    }
+    val perFile = partFiles.map(f =>
+      f.getName -> scala.io.Source.fromFile(f).getLines().size).toMap
+    assert(fileOfBucket.values.toSet.size > 1,
+      s"all buckets in one file — knob inert; per-file line counts: $perFile")
+  }
+
   test("CollapseNormalizeWord removes nested normalize_word in the optimized plan") {
     // non-literal input: constant folding would otherwise evaluate a
     // literal through both calls before the plan is observable
