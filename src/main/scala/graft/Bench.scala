@@ -40,6 +40,32 @@ object Bench {
       try exec(n)
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
     }
+    // Headline vs BASELINE.md: word count over the reference's own corpus
+    // (file_chunks_130, ~13 MB, ~2.35 M tokens; reference best = 0.7 s on
+    // 160 cores). Measured HERE — JVM warm from the sweep above, heap not
+    // yet aged by the timed passes (measured tail-position runs picked up
+    // a sustained GC stall that best-of-N could not filter). Warm once,
+    // report best of 5.
+    // Directory, not a "*.txt" glob: all 130 chunk files are .txt, and a
+    // glob makes DataFrameReader's FileStreamSink-metadata probe stat the
+    // glob string itself, logging a benign FileNotFoundException stack
+    // trace to stderr on every run — a clean record run must not print
+    // exception traces.
+    val corpus = "/root/reference/file_chunks_130"
+    val wcTimes =
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.core.WordCount.run(spark, Seq(corpus))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once(); (1 to 5).map(_ => once())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus wc failed: ${e.getMessage}"); Seq(-1.0)
+      }
+    val wcBest = wcTimes.min
+    val tokPerSec = if (wcBest > 0) (2297140L / wcBest).toLong else -1L
     // Three timed passes, report the per-query MIN. Single runs proved
     // untrustworthy: BENCH_r01 vs r02 showed 2–6× swings on queries whose
     // code had not changed, and the slow cluster moves between runs
@@ -89,29 +115,6 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(v)) => v }.sum
-    // Headline vs BASELINE.md: word count over the reference's own corpus
-    // (file_chunks_130, ~13 MB, ~2.35 M tokens; reference best = 0.7 s on
-    // 160 cores). Warm once, report best of 3.
-    // Directory, not a "*.txt" glob: all 130 chunk files are .txt, and a
-    // glob makes DataFrameReader's FileStreamSink-metadata probe stat the
-    // glob string itself, logging a benign FileNotFoundException stack
-    // trace to stderr on every run — a clean record run must not print
-    // exception traces.
-    val corpus = "/root/reference/file_chunks_130"
-    val wcTimes =
-      try {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          graft.core.WordCount.run(spark, Seq(corpus))
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        once(); (1 to 3).map(_ => once())
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] corpus wc failed: ${e.getMessage}"); Seq(-1.0)
-      }
-    val wcBest = wcTimes.min
-    val tokPerSec = if (wcBest > 0) (2297140L / wcBest).toLong else -1L
     // Stop Spark BEFORE printing so shutdown chatter can't land after the
     // JSON — the driver parses the last clean stdout line.
     spark.stop()

@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Sweep {
   def main(args: Array[String]): Unit = {
+    // directory, not a glob — see the Bench corpus comment
     val corpus =
-      if (args.nonEmpty) args(0) else "/root/reference/file_chunks_130/*.txt"
+      if (args.nonEmpty) args(0) else "/root/reference/file_chunks_130"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -67,12 +67,8 @@ object WordCount {
     * `split(value, " ", -1)` on valid UTF-8 but raw-byte-preserving on
     * invalid input (EncodingFidelitySpec) and regex-free in the hot path.
     */
-  def tokenize(lines: DataFrame): DataFrame = {
-    val toks = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.ByteSplit(
-        org.apache.spark.sql.graft.Bridge.expression(col("value"))))
-    lines.select(explode(toks).as("tok"))
-  }
+  def tokenize(lines: DataFrame): DataFrame =
+    lines.select(explode(graft.functions.ByteSplit.split(col("value"))).as("tok"))
 
   /** Normalize (`normalizeWord`, `mpi_mapreduce.c:133-161`): the custom
     * codegen'd Catalyst expression [[graft.functions.NormalizeWord]] —

@@ -42,9 +42,19 @@ case class ByteSplit(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object ByteSplit {
+  /** Column-level helper so every module tokenizes through the same
+    * expression (WordCount, Dedup shingles, TextAnalysis).
+    */
+  def split(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ByteSplit(Bridge.expression(c)))
+  }
+}
+
 /** Static implementation for both interpreted eval and generated Java —
-  * companion-free so scalac emits plain static forwarders Janino can
-  * call (same pattern as [[NormalizeWordImpl]]).
+  * kept OUTSIDE the case-class companion so scalac emits plain static
+  * forwarders Janino can call (same pattern as [[NormalizeWordImpl]]).
   */
 object ByteSplitImpl {
   def split(s: UTF8String): ArrayData = {

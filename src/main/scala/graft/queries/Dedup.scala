@@ -20,8 +20,9 @@ import graft.sources.Tables
   */
 object Dedup extends QueryModule {
 
-  /** Non-empty word tokens. */
-  private def words: Column = filter(split(col("text"), " ", -1), t => t =!= "")
+  /** Non-empty word tokens (same byte-level tokenizer as WordCount). */
+  private def words: Column =
+    filter(graft.functions.ByteSplit.split(col("text")), t => t =!= "")
 
   /** Word 3-gram shingles; whole text when <3 tokens.
     *

@@ -24,7 +24,8 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
     "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por"))
 
-  private def toks: Column = split(col("text"), " ", -1)
+  // byte-level tokenizer shared with WordCount (regex-free hot path)
+  private def toks: Column = graft.functions.ByteSplit.split(col("text"))
 
   /** Per-document size/shape statistics. Integer-exact everywhere except
     * the final division (exact operands → deterministic double).

@@ -42,7 +42,8 @@ object WordCountQueries extends QueryModule {
     */
   def wcDocTokens(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .select(col("doc_id"),
+        explode(graft.functions.ByteSplit.split(col("text"))).as("tok"))
       .select(col("doc_id"), WordCount.normalize(col("tok")).as("word"))
       .where(octet_length(col("word")) > 0 &&
         octet_length(col("word")) <= WordCount.WordLength)
