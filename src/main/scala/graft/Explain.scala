@@ -17,6 +17,23 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-stage wall/GC/spill/shuffle metrics for stages over 500 ms —
+    // separates plan problems (spill, fat shuffles) from box noise (GC,
+    // long gaps between cheap stages) when a timing looks off.
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+        if (dur > 500) {
+          val m = si.taskMetrics
+          println(f"[stage] id=${si.stageId} ${dur / 1e3}%.1fs tasks=${si.numTasks} " +
+            f"gc=${m.jvmGCTime / 1e3}%.1fs spillMem=${m.memoryBytesSpilled / 1e6}%.0fMB " +
+            f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+            f"shufRead=${(m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead) / 1e6}%.0fMB")
+        }
+      }
+    })
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     (1 to runs).foreach { i =>

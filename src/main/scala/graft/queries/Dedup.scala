@@ -141,6 +141,7 @@ object Dedup extends QueryModule {
     // table; here the block-manager cache is the same role. The harness
     // (Bench/test teardown) clears caches between queries.
     val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
+    sig.count() // eager materialization — see ngramJaccard's barrier note
     val hashed = sig
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id") +:
@@ -153,6 +154,7 @@ object Dedup extends QueryModule {
       (1 until NumHashes).map { k =>
         min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
       }: _*).persist()
+    withHashes.count() // eager materialization — see ngramJaccard's barrier note
     val bands = withHashes.select(
       col("doc_id"),
       explode(array((0 until Bands).map(b =>
@@ -245,7 +247,15 @@ object Dedup extends QueryModule {
   private[graft] def ngramJaccard(staged: DataFrame, cap: Int): DataFrame = {
     // persist: feeds the size table and BOTH candidate self-join branches
     // — without it the shingle pipeline + cap re-runs three times.
+    // Materialized EAGERLY (count) before the fan-out: the self-join's two
+    // shuffle-map stages run concurrently, and letting them populate the
+    // cache lazily makes both race to compute the same partitions
+    // (per-partition cache locks, duplicated work under contention —
+    // observed 3× run-to-run swings at sf0.1). One deliberate pass, then
+    // every branch reads settled cache. Production would stage this as a
+    // bucketed table; the eager count is the same barrier.
     val kept = cappedPostings(staged, cap).persist()
+    kept.count()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
     // shuffle_hash hint (on the join inputs, not the shared persisted df —
     // a hint on `kept` would also dangle over the `sizes` branch): Spark
