@@ -92,6 +92,28 @@ object MediaPipeline {
     } catch { case _: Exception => None }
   }
 
+  /** Minimal valid 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + zeroed pixel rows, rows padded to 4 bytes).
+    * Exists so the REAL `javax.imageio` decode path can be exercised —
+    * and oracle-checked — on payloads whose dimensions are a pure
+    * function of table data: the file size is 54 + height·rowBytes with
+    * rowBytes = ⌈3·width/4⌉·4, arithmetic DuckDB replays exactly.
+    */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bits-per-pixel
+      .putInt(0).putInt(dataSize) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi; palette unused
+    b.array() // pixel rows stay zeroed — header-only decode ignores them
+  }
+
   /** STUB decoder — deterministic function of the payload bytes standing
     * in for the codecs this environment lacks (audio/video). A production
     * deployment swaps this body for e.g. a JNI codec call; the signature

@@ -48,9 +48,37 @@ object Multimodal extends QueryModule {
         max("stub_width").as("max_width"))
       .orderBy("source")
 
+  /** REAL-decode path under the oracle: build a valid BMP per document
+    * row whose dimensions are a pure function of doc_id
+    * (width = 1 + doc_id mod 64, height = 1 + 7·doc_id mod 64), push it
+    * through [[graft.multimodal.MediaPipeline.extractFeatures]] — the
+    * same typed mapPartitions pipeline production media uses, with the
+    * real `javax.imageio` header decode, NOT the stub — and emit the
+    * decoded dims + file size. DuckDB replays the BMP size arithmetic
+    * (54-byte header + height·⌈3·width/4⌉·4 pixel bytes), so a decode
+    * that returned garbage, swapped endianness, or fell through to the
+    * stub hash-mismatches. Construction and decode are both per-row
+    * expressions over the scan — linear, shuffle-free until the sort.
+    */
+  def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{MediaPipeline, MediaRow}
+    val media = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 64 + 1).toInt
+        val h = (id * 7 % 64 + 1).toInt
+        MediaRow(id, "bmp", MediaPipeline.encodeBmp(w, h))
+      }
+    MediaPipeline.extractFeatures(s, media)
+      .select(col("media_id").as("doc_id"), col("n_bytes"),
+        col("width"), col("height"), col("frames"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
+    "mm_decode_real" -> (mmDecodeReal _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +94,15 @@ object Multimodal extends QueryModule {
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(max(32 + octet_length(encode(text)) % 97) AS INTEGER) AS max_width
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Replays the BMP geometry the Spark side ENCODES, against the dims
+    // the real ImageIO reader DECODES — the two agree only if the decode
+    // is faithful. rowBytes = ((w*3 + 3) // 4) * 4; file = 54 + h*rowBytes.
+    "mm_decode_real" ->
+      """SELECT doc_id,
+        | CAST(54 + (doc_id * 7 % 64 + 1) * (((doc_id % 64 + 1) * 3 + 3) // 4 * 4) AS INTEGER) AS n_bytes,
+        | CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        | CAST(doc_id * 7 % 64 + 1 AS INTEGER) AS height,
+        | CAST(1 AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -30,6 +30,23 @@ class MediaPipelineSpec extends SparkSpec {
     }
   }
 
+  test("encodeBmp round-trips through the REAL ImageIO decode, not the stub") {
+    // asymmetric dims catch endianness/field-order mistakes; width 3 and
+    // 5 exercise the 4-byte row padding; 1x1 is the minimal file
+    Seq((3, 5), (5, 3), (1, 1), (64, 17)).foreach { case (w, h) =>
+      val bytes = MediaPipeline.encodeBmp(w, h)
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      assert(bytes.length === 54 + h * rowBytes, s"${w}x$h file size")
+      val decoded = MediaPipeline.decodeImage(bytes)
+      assert(decoded.isDefined, s"${w}x$h not recognized as an image")
+      val (dw, dh, frames, _) = decoded.get
+      assert(dw === w && dh === h && frames === 1, s"${w}x$h decoded as ${dw}x$dh")
+      // and it must NOT equal what the stub would have said (stub dims
+      // start at 32 and depend only on byte length) for the small cases
+      if (w < 32) assert(MediaPipeline.decodeStub(bytes)._1 !== w)
+    }
+  }
+
   test("decodeImage rejects non-image payloads; decode falls back to the stub") {
     val txt = "not an image, just prose long enough to sniff".getBytes("UTF-8")
     assert(MediaPipeline.decodeImage(txt).isEmpty)
