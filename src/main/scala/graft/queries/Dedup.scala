@@ -51,9 +51,13 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("lang"), words.as("w"))
       .select(col("doc_id"), col("lang"), shingles(col("w")).as("sh"))
 
-  /** documents staged to (doc_id, lang, sh). */
+  /** documents staged to (doc_id, lang, sh). [[graft.core.FanOut]]
+    * between the scan and the shingle pipeline: zip_with shingling +
+    * per-shingle md5 is the CPU hot spot of every dedup variant, and a
+    * single-file table would otherwise run all of it on one core.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingleDocs(Tables(s, dir).documents)
+    shingleDocs(graft.core.FanOut(Tables(s, dir).documents))
 
   /** Minhash banding for an n-doc corpus — the text analog of
     * [[lshRowsForN]]'s operating-point discipline (closes VERDICT r2
@@ -142,8 +146,12 @@ object Dedup extends QueryModule {
     // (Bench/test teardown) clears caches between queries.
     val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
     sig.count() // eager materialization — see ngramJaccard's barrier note
+    // array_distinct before the explode: min() over the distinct shingle
+    // set is identical to min() over the multiset (the oracle unnests the
+    // multiset and agrees), and repeated shingles would re-run both md5s
+    // and inflate the aggregate input for no signature change.
     val hashed = sig
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
       .select(col("doc_id") +:
         (0 until (NumHashes + 3) / 4).map(m =>
           md5(concat(lit(s"$m|"), col("s"))).as(s"h$m")): _*)
@@ -202,7 +210,7 @@ object Dedup extends QueryModule {
     */
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val tok = Tables(s, dir).documents
+    val tok = graft.core.FanOut(Tables(s, dir).documents)
       .select(col("doc_id"), explode(words).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = tok.groupBy("doc_id").agg(
@@ -238,7 +246,7 @@ object Dedup extends QueryModule {
     * cap.
     */
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    ngramJaccard(shingleDocs(Tables(s, dir).documents), PostingCap)
+    ngramJaccard(shingleDocs(graft.core.FanOut(Tables(s, dir).documents)), PostingCap)
 
   /** Core of [[ddNgramJaccard]]: `staged` is (doc_id, lang, sh) from
     * [[shingleDocs]]; cap-parameterized so tests can exercise the
@@ -323,7 +331,7 @@ object Dedup extends QueryModule {
     // once per PAIR after it (n²/blocks rows) — the arithmetic
     // (sqrt(dot(e,e))) is identical so results are bit-equal, but the
     // per-pair work drops from 3 interpreted array folds to 1.
-    val e = Tables(s, dir).embeddings
+    val e = graft.core.FanOut(Tables(s, dir).embeddings)
       .select(col("label"), col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
@@ -407,7 +415,7 @@ object Dedup extends QueryModule {
   }
 
   def ddEmbedLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).embeddings
+    val e = graft.core.FanOut(Tables(s, dir).embeddings)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val sig = e.select(col("vec_id"), fusedSig.as("sig"))

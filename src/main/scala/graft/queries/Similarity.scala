@@ -74,7 +74,7 @@ object Similarity extends QueryModule {
     * arithmetic as dot/(sqrt(dot)·sqrt(dot)) — bit-equal to the oracle.
     */
   private def normed(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).embeddings
+    graft.core.FanOut(Tables(s, dir).embeddings)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
 
