@@ -27,11 +27,17 @@ object TextAnalysis extends QueryModule {
   // byte-level tokenizer shared with WordCount (regex-free hot path)
   private def toks: Column = graft.functions.ByteSplit.split(col("text"))
 
+  // documents behind the conditional FanOut: every ta_* query runs a
+  // CPU-heavy per-row expression pipeline (tokenize, regex, rolling
+  // hash) straight off the scan - see graft.core.FanOut
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.core.FanOut(Tables(s, dir).documents)
+
   /** Per-document size/shape statistics. Integer-exact everywhere except
     * the final division (exact operands → deterministic double).
     */
   def taDocStats(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
@@ -49,7 +55,7 @@ object TextAnalysis extends QueryModule {
     def score(lang: String): Column =
       size(filter(toks, t => t.isin(stopwords(lang).map(x => x: Any): _*)))
         .as(s"s_$lang")
-    val scored = Tables(s, dir).documents
+    val scored = docs(s, dir)
       .select(col("doc_id"), col("lang"), score("en"), score("de"), score("fr"), score("es"))
     val pred = when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
       .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
@@ -66,7 +72,7 @@ object TextAnalysis extends QueryModule {
     * the standard cheap pre-filter before expensive dedup/training.
     */
   def taQuality(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"),
         size(filter(toks, t => t =!= "")).as("n_tokens"),
         size(array_distinct(filter(toks, t => t =!= ""))).as("n_distinct"))
@@ -82,7 +88,7 @@ object TextAnalysis extends QueryModule {
     * and single non-alphanumeric marks counted separately.
     */
   def taTokenRegex(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"),
         regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
         regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
@@ -94,7 +100,7 @@ object TextAnalysis extends QueryModule {
     * in [[Dedup]] as minhash input.)
     */
   def taFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"),
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy("doc_id")
@@ -113,7 +119,7 @@ object TextAnalysis extends QueryModule {
         filter(chars, c => c =!= ""),
         lit(0L),
         (h, c) => pmod(h * 31L + ascii(c), lit(1000000007L)))
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"),
         roll(split(col("text"), "")).as("full_hash"),
         roll(split(substring(col("text"), 1, 32), "")).as("head32_hash"))
@@ -126,8 +132,8 @@ object TextAnalysis extends QueryModule {
     * partition evenly.
     */
   def taTfidfTop(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documents
-    val terms = docs
+    val d = docs(s, dir)
+    val terms = d
       .select(col("doc_id"), explode(filter(toks, t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // document frequency: `terms` is already one row per (doc_id, term),
@@ -136,7 +142,7 @@ object TextAnalysis extends QueryModule {
     // (at 100 TB, a full extra shuffle of the term table).
     val df = terms.groupBy("term")
       .agg(count(lit(1)).as("df_count"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
     terms.join(df, "term").join(broadcast(n))
@@ -156,7 +162,7 @@ object TextAnalysis extends QueryModule {
     */
   def taTopTermsLang(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val termCounts = Tables(s, dir).documents
+    val termCounts = docs(s, dir)
       .select(col("lang"), explode(filter(toks, t => t =!= "")).as("term"))
       .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
       .select(col("lang"), col("term"), col("cnt"))
