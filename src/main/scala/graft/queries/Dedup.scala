@@ -126,13 +126,14 @@ object Dedup extends QueryModule {
     * 2 → candidate pairs from band-equality self-join → verify exact
     * shingle-set Jaccard on candidates only.
     *
-    * Minhashes are computed in ROW form: explode shingles, hash each
-    * once (two md5s per shingle; each yields four 32-bit hex slices →
-    * 8 hash families), then min-aggregate per doc. This keeps the hash
-    * work in whole-stage codegen — array-lambda minhashing re-evaluates
-    * interpreted md5 per (element × family) — and the per-doc min is
-    * map-side combined, so at 100 TB the signature build is a single
-    * cheap aggregation keyed on doc_id.
+    * Minhashes come from [[graft.functions.MinhashSig]] — the whole
+    * signature computed in ONE pass inside the row that holds the
+    * shingle array. The previous build (explode → per-family md5 →
+    * min-aggregate on doc_id) was correct but shuffled one row per
+    * (doc, shingle-hash) to reassemble per-doc minima; at 100 TB that
+    * exchange carries the whole shingle corpus for a one-row-per-doc
+    * result. Fused, the signature build is pure map work — the FIRST
+    * shuffle of the query is the banded candidate join itself.
     *
     * The candidate self-join is an equi-join on (band_idx, band_val):
     * cost scales with band-bucket sizes, not n². Verification re-joins
@@ -146,30 +147,21 @@ object Dedup extends QueryModule {
     // (Bench/test teardown) clears caches between queries.
     val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
     sig.count() // eager materialization — see ngramJaccard's barrier note
-    // array_distinct before the explode: min() over the distinct shingle
-    // set is identical to min() over the multiset (the oracle unnests the
-    // multiset and agrees), and repeated shingles would re-run both md5s
-    // and inflate the aggregate input for no signature change.
-    val hashed = sig
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
-      .select(col("doc_id") +:
-        (0 until (NumHashes + 3) / 4).map(m =>
-          md5(concat(lit(s"$m|"), col("s"))).as(s"h$m")): _*)
-    // persist: the banded self-join's two branches would otherwise each
-    // recompute the whole explode→md5→min-aggregate signature build
-    val withHashes = hashed.groupBy("doc_id").agg(
-      min(substring(col("h0"), 1, 8)).as("mh0"),
-      (1 until NumHashes).map { k =>
-        min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
-      }: _*).persist()
-    withHashes.count() // eager materialization — see ngramJaccard's barrier note
-    val bands = withHashes.select(
-      col("doc_id"),
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("band_idx"),
-          concat((0 until BandRows).map(r => col(s"mh${BandRows * b + r}")): _*)
-            .as("band_val"))): _*)).as("band"))
+    val bands = sig
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sig(col("sh"), NumHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band_idx"),
+            substring(col("sig"), b * BandRows * 8 + 1, BandRows * 8)
+              .as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+      // persist + eager count: okBands, the semi-join probe, and both
+      // self-join branches all read this tiny (n·Bands rows) table —
+      // settle it once instead of re-running the signature kernel 4×
+      .persist()
+    bands.count()
     // Drop degenerate band buckets (> BandCap members) before the
     // self-join — see [[BandCap]]. Count-then-semi-join, NOT
     // collect_list-then-filter: a grouped list for the hot bucket would
