@@ -43,14 +43,26 @@ object Similarity extends QueryModule {
     aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Coarse-quantizer width: 2^BucketDims cells. The cell count MUST
-    * grow with n — with a constant cell count the within-cell scan is
-    * Θ(n²/cells). Rule of thumb: cells ≈ √n (so expected cell occupancy
-    * and probe cost both grow as √n); at 10⁹ vectors that's ~2¹⁵ cells
-    * (k-means centroids in production; the sign quantizer here keeps the
-    * oracle exactly replayable while exercising the same plan shape).
-    * 8 bits = 256 cells at test scale (500–2000 vectors).
+  /** Quantizer bits for an n-vector corpus — the IVF analog of
+    * [[Dedup.minhashRowsForN]] / [[Dedup.lshRowsForN]]. The cell count
+    * MUST grow with n: with a constant cell count the within-cell scan
+    * is Θ(n²/cells). Rule of thumb cells ≈ √n ⇒ bits = ⌈log₂ √n⌉ =
+    * ⌈log₂(n)/2⌉, so expected occupancy and probe cost both grow as √n;
+    * at 10⁹ vectors that's 15 bits ≈ 2¹⁵ cells (k-means centroids in
+    * production; the sign quantizer keeps the oracle exactly
+    * replayable while exercising the same plan shape). Floored at 8:
+    * below 256 cells the Hamming-1 multi-probe ring (bits+1 probes) is
+    * a large fraction of the whole space and the quantizer stops
+    * discriminating — and 8 IS the oracled gate configuration
+    * ([[BucketDims]]), the same static-oracle compromise the other two
+    * rules document.
     */
+  def ivfBitsForN(n: Long): Int = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1)
+    math.max(8, (log2n + 1) / 2)
+  }
+
+  /** Oracled gate config = [[ivfBitsForN]]'s floor at test scale. */
   private[graft] val BucketDims = 8
 
   private[graft] def signBucket(e: Column): Column =
