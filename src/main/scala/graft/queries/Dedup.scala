@@ -417,9 +417,16 @@ object Dedup extends QueryModule {
         struct(lit(b).as("band_idx"),
           substring(col("sig"), b * LshRowsPerBand + 1, LshRowsPerBand).as("band_val"))): _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
+      // persist + eager count: both candidate self-join branches read
+      // this (n·Bands tiny rows); settling it once halves the signature
+      // kernel work and avoids racing cache materialization — same
+      // barrier rationale as ngramJaccard
+      .persist()
+    bands.count()
+    val bandsKeyed = bands
       // shuffle on the band key, never broadcast-collect a signature table
       .hint("shuffle_hash")
-    val cand = bands.as("x").join(bands.as("y"),
+    val cand = bandsKeyed.as("x").join(bandsKeyed.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.vec_id") < col("y.vec_id"))
