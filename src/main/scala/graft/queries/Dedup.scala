@@ -197,24 +197,23 @@ object Dedup extends QueryModule {
 
   /** SimHash (16-bit, md5-nibble hyperplanes): per token, each hex digit
     * of md5 votes ±1 on one bit; the sign of the per-document vote sum
-    * sets the bit. Near-dups share most bits. One explode + one
-    * hash-aggregate on doc_id — linear, no joins.
+    * sets the bit. Near-dups share most bits.
+    *
+    * The whole signature comes from [[graft.functions.SimhashSig]] in
+    * one pass over the token array — the previous explode → 16
+    * conditional sums → doc_id aggregate shuffled one row per token to
+    * reassemble sums the holding row can accumulate locally
+    * (bit-identical; SimhashSigSpec). The query is now exchange-free
+    * map work until the output sort. Null signatures (token-less docs)
+    * are filtered to match the exploded form, where such docs produced
+    * no aggregate row.
     */
-  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
-    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val tok = graft.core.FanOut(Tables(s, dir).documents)
-      .select(col("doc_id"), explode(words).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val sums = tok.groupBy("doc_id").agg(
-      sum(when(substring(col("h"), 1, 1).isin(highNibble: _*), 1).otherwise(-1)).as("s0"),
-      (1 until 16).map(i =>
-        sum(when(substring(col("h"), i + 1, 1).isin(highNibble: _*), 1).otherwise(-1)).as(s"s$i")): _*)
-    val simhash = (0 until 16)
-      .map(i => when(col(s"s$i") >= 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), simhash.cast("int").as("simhash16"))
+  def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.core.FanOut(Tables(s, dir).documents)
+      .select(col("doc_id"),
+        graft.functions.SimhashSig.sig(words).as("simhash16"))
+      .where(col("simhash16").isNotNull)
       .orderBy("doc_id")
-  }
 
   /** n-gram Jaccard near-dup via an inverted shingle index.
     *
