@@ -412,7 +412,53 @@ object Relational extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** As-of join — an operator Spark has no native form of: each click
+    * is matched to the user's most recent purchase at-or-before it.
+    *
+    * The naive formulation is a range self-join
+    * (`c.user_id = p.user_id AND p.ts <= c.ts`, then keep the max) —
+    * Spark plans that as a broadcast/shuffle join with a non-equi
+    * residual whose matched set is O(clicks × prior-purchases) per
+    * user: quadratic in a user's history, the classic range-join
+    * blowup. The scalable form used here composes existing operators
+    * (preference (a) from the build guidance): UNION the two event
+    * roles, sort once per user by (time, role, id), and carry the last
+    * purchase forward with `last(..., ignoreNulls)` over a running
+    * window — ONE shuffle on user_id, linear scan per user, no pair
+    * explosion. Skew bound: a hot user costs its own history length,
+    * not its square.
+    *
+    * Tie semantics (replayed bit-for-bit by the oracle): a purchase AT
+    * the click instant matches (role sorts purchases first at equal
+    * ts); among same-instant purchases the greatest event_id wins
+    * (event_id is the final sort key, `last` takes the latest).
+    */
+  def q28AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables(s, dir).events
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("purchase_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("p_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+      .withColumn("p_val",
+        last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("purchase_id"),
+        (col("us") - col("p_us")).as("us_since_purchase"),
+        round(col("p_val"), 2).as("purchase_value"))
+      .orderBy("click_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_asof_join" -> (q28AsofJoin _),
     "q27_skew_join" -> (q27SkewJoin _),
     "q26_array_agg" -> (q26ArrayAgg _),
     "q25_json" -> (q25Json _),
@@ -448,6 +494,29 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // replays the union+window as-of form and its tie-breaks exactly
+    // (purchase-before-click at equal ts; greatest event_id among ties)
+    "q28_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT event_id, user_id, us, kind,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS purchase_id,
+        |    last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS p_us,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS p_val
+        |  FROM t
+        |)
+        |SELECT event_id AS click_id, user_id, purchase_id,
+        |  us - p_us AS us_since_purchase, round(p_val, 2) AS purchase_value
+        |FROM m WHERE kind = 1 ORDER BY click_id""".stripMargin,
     "q26_array_agg" ->
       """SELECT o_custkey,
         | array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))), ',') AS order_years,
