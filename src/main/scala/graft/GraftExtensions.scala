@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ByteSplit, DotProduct, MinhashSig, NormalizeWord, RefHashWord, SimhashSig}
+import graft.functions.{ByteSplit, DotProduct, MinhashSig, NormalizeWord, RefHashWord, RollingHash, SimhashSig}
 
 /** Session-extension entry point: build a session with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or pass
@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "ref_hash_word", classOf[RefHashWord])(e => RefHashWord(e.head))
     register(ext, "dot_product", classOf[DotProduct])(e => DotProduct(e(0), e(1)))
     register(ext, "simhash_sig", classOf[SimhashSig])(e => SimhashSig(e.head))
+    register(ext, "rolling_hash", classOf[RollingHash])(e => RollingHash(e.head))
     // minhash_sig(arr, numHashes): the hash count must be a foldable
     // integer literal — it sizes the signature at plan time
     register(ext, "minhash_sig", classOf[MinhashSig]) {

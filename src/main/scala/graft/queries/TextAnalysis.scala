@@ -113,18 +113,16 @@ object TextAnalysis extends QueryModule {
     * window form a chunk-level near-dup scan would slide).
     * Exact 64-bit integer arithmetic in both engines.
     */
-  def taRollingHash(s: SparkSession, dir: String): DataFrame = {
-    def roll(chars: Column): Column =
-      aggregate(
-        filter(chars, c => c =!= ""),
-        lit(0L),
-        (h, c) => pmod(h * 31L + ascii(c), lit(1000000007L)))
+  def taRollingHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        roll(split(col("text"), "")).as("full_hash"),
-        roll(split(substring(col("text"), 1, 32), "")).as("head32_hash"))
+        // one codegen pass per string ([[graft.functions.RollingHash]]);
+        // bit-identical to the aggregate(split(text,''))·ascii lambda
+        // fold the oracle replays (RollingHashSpec)
+        graft.functions.RollingHash.hash(col("text")).as("full_hash"),
+        graft.functions.RollingHash.hash(substring(col("text"), 1, 32))
+          .as("head32_hash"))
       .orderBy("doc_id")
-  }
 
   /** Top TF-IDF term per document (rational idf N/df — no transcendental
     * functions, so engine-exact). Two shuffles: df per term, then the
