@@ -40,4 +40,27 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(word".r.findAllIn(p).size
     assert(exchanges == 1, s"expected ONE word-keyed exchange, plan:\n$p")
   }
+
+  test("dd_simhash: fused signature leaves NO key-hash exchange (map work + sort only)") {
+    val p = plan("dd_simhash")
+    assert(p.contains("simhash_sig"), s"fused expression missing:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"signature build must not shuffle on a key:\n$p")
+    assert(!p.contains("HashAggregate"), s"no per-token aggregate expected:\n$p")
+  }
+
+  test("ta_rolling_hash: fused fold, no per-character lambda aggregate") {
+    val p = plan("ta_rolling_hash")
+    assert(p.contains("rolling_hash"), s"fused expression missing:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"no interpreted higher-order fold expected:\n$p")
+  }
+
+  test("q28_asof_join: one user-keyed exchange, no range-join pair explosion") {
+    val p = plan("q28_asof_join")
+    val keyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(keyed == 1, s"expected ONE user-keyed exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a pair-explosion join:\n$p")
+  }
 }
