@@ -457,7 +457,42 @@ object Relational extends QueryModule {
       .orderBy("click_id")
   }
 
+  /** Range (band) join — the other interval operator Spark has no
+    * native form of: for each error event, count the same user's clicks
+    * within ±5 minutes.
+    *
+    * Spark plans the naive `|t_c − t_e| ≤ W` predicate as an equi-join
+    * on user_id with a residual range filter — correct, but every
+    * (error, click) pair of a user is generated before the filter: a
+    * hot user's history squared. The scalable form buckets time into
+    * W-length epochs and equi-joins on (user_id, epoch), each error
+    * probing its own epoch ± 1 (any pair within W spans at most
+    * adjacent epochs, so the 3 probes find EXACTLY the exact-join's
+    * pairs — the filter then trims corner cases; same multi-probe
+    * discipline as the IVF path). Join volume is Σ bucket×probe sizes,
+    * not per-user history². The DuckDB oracle runs the plain range
+    * join, pinning the bucketed rewrite to exact semantics.
+    */
+  def q29RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 300000000L // 5 minutes in microseconds = the epoch length
+    val ev = Tables(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), expr(s"us div $W").as("epoch"), col("us").as("c_us"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("us").as("e_us"),
+        explode(array(expr(s"us div $W - 1"), expr(s"us div $W"),
+          expr(s"us div $W + 1"))).as("epoch"))
+    errors.join(clicks, Seq("user_id", "epoch"))
+      .where(abs(col("c_us") - col("e_us")) <= W)
+      .groupBy("error_id", "user_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy("error_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_range_join" -> (q29RangeJoin _),
     "q28_asof_join" -> (q28AsofJoin _),
     "q27_skew_join" -> (q27SkewJoin _),
     "q26_array_agg" -> (q26ArrayAgg _),
@@ -494,6 +529,15 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the PLAIN range join — the bucketed multi-probe rewrite must
+    // reproduce it exactly
+    "q29_range_join" ->
+      """SELECT e.event_id AS error_id, e.user_id, count(*) AS n_nearby_clicks
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
+        |GROUP BY 1, 2 ORDER BY error_id""".stripMargin,
     // replays the union+window as-of form and its tie-breaks exactly
     // (purchase-before-click at equal ts; greatest event_id among ties)
     "q28_asof_join" ->

@@ -56,6 +56,13 @@ class PlanShapeSpec extends SparkSpec {
       s"no interpreted higher-order fold expected:\n$p")
   }
 
+  test("q29_range_join: epoch-bucketed equi-join, no pair-explosion join") {
+    val p = plan("q29_range_join")
+    assert(p.contains("epoch"), s"expected epoch bucketing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$p")
+  }
+
   test("q28_asof_join: one user-keyed exchange, no range-join pair explosion") {
     val p = plan("q28_asof_join")
     val keyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
