@@ -22,6 +22,22 @@ class ApproxDistinctSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile (KLL-style sketch) within accuracy bound of exact quantiles") {
+    // accuracy parameter 10000 bounds rank error at n/10000; check the
+    // median and p95 of o_totalprice against exact percentile_approx's
+    // exact cousin via sort
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val n = orders.count()
+    val row = orders.agg(
+      expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").as("approx"),
+      expr("percentile(o_totalprice, array(0.5, 0.95))").as("exact")).collect()(0)
+    val approx = row.getSeq[Double](0)
+    val exact = row.getSeq[Double](1)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e <= 0.02, s"approx=$a exact=$e n=$n")
+    }
+  }
+
   test("grouped HLL matches exact within 10% per group") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
     val rows = orders.groupBy("o_orderpriority").agg(
