@@ -24,32 +24,19 @@ object Dedup extends QueryModule {
   private def words: Column =
     filter(graft.functions.ByteSplit.split(col("text")), t => t =!= "")
 
-  /** Word 3-gram shingles; whole text when <3 tokens.
-    *
-    * Built from zip_with over shifted slices, NOT
-    * `transform(sequence(...), i => element_at(w, i))`: higher-order
-    * lambdas are interpreted per element and Catalyst's CollapseProject
-    * freely re-inlines `w`'s defining expression into every use, so an
-    * element_at(w, i) lambda re-splits the text once per shingle —
-    * O(tokens²) per row (observed 10× slowdown at sf0.1). zip_with's
-    * lambda only touches its lambda variables; the (inlined) array
-    * inputs are evaluated once per row, keeping the whole thing O(tokens).
-    * Entries past n−2 come out null (zip_with pads, concat propagates
-    * null) and are sliced off.
+  /** documents (doc_id, lang, text) staged to (doc_id, lang, sh):
+    * word 3-gram shingles, whole text when <3 tokens — the fused
+    * one-pass [[graft.functions.WordShingles]] expression (replacing a
+    * byte_split → filter → two zip_with passes → slice chain that
+    * materialized three intermediate arrays per row; bit-identical,
+    * ShinglesSpec). An earlier lesson pinned there still applies to any
+    * lambda rewrite: higher-order lambdas touching non-lambda
+    * expressions get those expressions re-inlined PER ELEMENT by
+    * CollapseProject — O(tokens²) per row.
     */
-  private def shingles(w: Column): Column = {
-    val n = size(w)
-    val ab = zip_with(w, slice(w, lit(2), n - 1), (a, b) => concat(a, lit(" "), b))
-    val abc = zip_with(ab, slice(w, lit(3), n - 2), (x, c) => concat(x, lit(" "), c))
-    when(n >= 3, slice(abc, lit(1), n - 2))
-      .otherwise(array(concat_ws(" ", w)))
-  }
-
-  /** documents (doc_id, lang, text) staged to (doc_id, lang, sh). */
   private[graft] def shingleDocs(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"), words.as("w"))
-      .select(col("doc_id"), col("lang"), shingles(col("w")).as("sh"))
+    docs.select(col("doc_id"), col("lang"),
+      graft.functions.WordShingles.of(col("text")).as("sh"))
 
   /** documents staged to (doc_id, lang, sh). [[graft.core.FanOut]]
     * between the scan and the shingle pipeline: zip_with shingling +
