@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   */
 case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
+/** One sampled frame of a media asset ([[MediaPipeline.sampleFrames]]). */
+case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
 /** Features produced by the decode step. */
 case class MediaFeatures(
     media_id: Long,
@@ -140,6 +143,33 @@ object MediaPipeline {
       rows.map { r =>
         val (w, h, f, crc) = decode(r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, f, crc)
+      }
+    }
+  }
+
+  /** Sample every `everyN`th frame of each asset into its own row —
+    * the fan-out stage a video pipeline runs before per-frame feature
+    * extraction. The Spark-side contract is real: one input row becomes
+    * ⌈frames/everyN⌉ typed rows, partition-local, no shuffle until the
+    * consumer keys on something. The frame SPLIT is the stub codec
+    * (frame count from [[decodeStub]]; frame i's payload is the i-th of
+    * `frames` near-equal byte slices — deterministic, oracle-replayable
+    * arithmetic); a production deployment swaps the slice for a real
+    * demuxer emitting encoded frames at the same schema.
+    */
+  def sampleFrames(
+      spark: SparkSession, media: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val frames = decode(r.payload)._3
+        (0 until frames by everyN).iterator.map { i =>
+          val from = (i.toLong * n / frames).toInt
+          val until = ((i + 1).toLong * n / frames).toInt
+          FrameRow(r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
       }
     }
   }

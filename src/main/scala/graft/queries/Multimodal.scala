@@ -75,10 +75,26 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling under the oracle: every 2nd frame of each asset
+    * through [[graft.multimodal.MediaPipeline.sampleFrames]] — the
+    * typed one-row-per-frame fan-out a video pipeline feeds to
+    * per-frame feature extraction. DuckDB replays the stub codec's
+    * frame count and byte-slice arithmetic exactly.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MediaPipeline
+    MediaPipeline.sampleFrames(s, MediaPipeline.fromDocuments(s, dir), everyN = 2)
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("n_frame_bytes"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
     "mm_decode_real" -> (mmDecodeReal _),
+    "mm_frame_sample" -> (mmFrameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -94,6 +110,21 @@ object Multimodal extends QueryModule {
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(max(32 + octet_length(encode(text)) % 97) AS INTEGER) AS max_width
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Replays the stub codec's frame count (1 + n mod 16) and the
+    // near-equal byte-slice arithmetic (frame i = bytes
+    // [i*n/frames, (i+1)*n/frames), floor division)
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    1 + octet_length(encode(text)) % 16 AS frames
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, n, frames, unnest(range(0, frames, 2)) AS frame_idx
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST((frame_idx + 1) * n // frames - frame_idx * n // frames AS INTEGER) AS n_frame_bytes
+        |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
     // Replays the BMP geometry the Spark side ENCODES, against the dims
     // the real ImageIO reader DECODES — the two agree only if the decode
     // is faithful. rowBytes = ((w*3 + 3) // 4) * 4; file = 54 + h*rowBytes.

@@ -67,6 +67,20 @@ class MediaPipelineSpec extends SparkSpec {
     assert(feats(3L).width === stub._1 && feats(3L).height === stub._2)
   }
 
+  test("sampleFrames: everyN=1 reassembles the payload; everyN=2 takes even indices") {
+    import spark.implicits._
+    val payload = ("x" * 100).getBytes("UTF-8") // stub frames = 1 + 100%16 = 5
+    val media = spark.createDataset(Seq(MediaRow(7L, "vid", payload)))
+    val all = MediaPipeline.sampleFrames(spark, media, everyN = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(all.flatMap(_.frame).toSeq === payload.toSeq) // slices tile the payload
+    val sampled = MediaPipeline.sampleFrames(spark, media, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(sampled.map(_.frame.length).sum === 60) // 3 of 5 20-byte slices
+  }
+
   test("decodeStub is deterministic and in documented ranges") {
     val p = "hello media".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p)
