@@ -147,6 +147,29 @@ object MediaPipeline {
     }
   }
 
+  /** REAL image resize with the JDK only: rasterize via `ImageIO.read`,
+    * scale with a Graphics2D blit, re-encode as 24-bit BMP. None when
+    * the payload is not a decodable image (callers fall back to a stub
+    * or drop the row). Unlike [[decodeImage]] this IS O(pixels) — it is
+    * the per-row compute stage a thumbnailing pipeline runs after
+    * decode, not a metadata probe.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (w <= 0 || h <= 0 || payload.length < 8) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(dst, "bmp", bos)) Some(bos.toByteArray) else None
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Sample every `everyN`th frame of each asset into its own row —
     * the fan-out stage a video pipeline runs before per-frame feature
     * extraction. The Spark-side contract is real: one input row becomes

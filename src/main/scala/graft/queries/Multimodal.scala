@@ -90,11 +90,38 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL resize under the oracle: encode a BMP per row (mm_decode_real
+    * dims), rescale it for real (`ImageIO.read` → raster blit → BMP
+    * re-encode — O(pixels), the thumbnailing stage), then RE-DECODE the
+    * output and emit its dims + byte size. A resize that produced wrong
+    * geometry, a corrupt file, or fell through would hash-mismatch:
+    * DuckDB replays the target-dim formulas and the BMP size arithmetic
+    * the re-encoded output must obey.
+    */
+  def mmResizeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      .map { id =>
+        val src = MediaPipeline.encodeBmp((id % 64 + 1).toInt, (id * 7 % 64 + 1).toInt)
+        val w2 = (id * 3 % 32 + 1).toInt
+        val h2 = (id * 5 % 32 + 1).toInt
+        val out = MediaPipeline.resizeImage(src, w2, h2)
+          .getOrElse(sys.error(s"resize failed for doc $id"))
+        val (dw, dh, _, _) = MediaPipeline.decodeImage(out)
+          .getOrElse(sys.error(s"re-decode failed for doc $id"))
+        (id, dw, dh, out.length)
+      }
+      .toDF("doc_id", "width", "height", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize_real" -> (mmResizeReal _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -125,6 +152,15 @@ object Multimodal extends QueryModule {
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST((frame_idx + 1) * n // frames - frame_idx * n // frames AS INTEGER) AS n_frame_bytes
         |FROM idx ORDER BY doc_id, frame_idx""".stripMargin,
+    // Replays the resize targets (w = 1 + 3·doc_id mod 32,
+    // h = 1 + 5·doc_id mod 32) and the BMP geometry the re-encoded
+    // output must obey (54-byte header + padded 24-bit rows)
+    "mm_resize_real" ->
+      """SELECT doc_id,
+        | CAST(doc_id * 3 % 32 + 1 AS INTEGER) AS width,
+        | CAST(doc_id * 5 % 32 + 1 AS INTEGER) AS height,
+        | CAST(54 + (doc_id * 5 % 32 + 1) * (((doc_id * 3 % 32 + 1) * 3 + 3) // 4 * 4) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Replays the BMP geometry the Spark side ENCODES, against the dims
     // the real ImageIO reader DECODES — the two agree only if the decode
     // is faithful. rowBytes = ((w*3 + 3) // 4) * 4; file = 54 + h*rowBytes.

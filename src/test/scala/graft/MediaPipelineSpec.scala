@@ -81,6 +81,19 @@ class MediaPipelineSpec extends SparkSpec {
     assert(sampled.map(_.frame.length).sum === 60) // 3 of 5 20-byte slices
   }
 
+  test("resizeImage really rescales: output decodes at target dims, exact BMP size") {
+    Seq(("png", 37, 21, 10, 7), ("bmp", 64, 17, 3, 5)).foreach {
+      case (fmt, w, h, w2, h2) =>
+        val resized = MediaPipeline.resizeImage(encodeImage(fmt, w, h), w2, h2)
+        assert(resized.isDefined, s"$fmt resize failed")
+        val (dw, dh, frames, _) = MediaPipeline.decodeImage(resized.get).get
+        assert(dw === w2 && dh === h2 && frames === 1, s"$fmt ${dw}x$dh")
+        // JDK BMP writer emits the plain 54-byte-header 24-bit layout
+        assert(resized.get.length === 54 + h2 * ((w2 * 3 + 3) / 4 * 4), fmt)
+    }
+    assert(MediaPipeline.resizeImage("not an image".getBytes, 4, 4).isEmpty)
+  }
+
   test("decodeStub is deterministic and in documented ranges") {
     val p = "hello media".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p)
