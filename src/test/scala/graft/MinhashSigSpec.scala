@@ -41,6 +41,21 @@ class MinhashSigSpec extends SparkSpec {
     }
   }
 
+  test("seeded fuzz: 200 random shingle arrays agree with the compositional build") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val words = Seq("the", "é", "日本", "zz", "a b", "", "xyz")
+    val cases = (1 to 200).map { i =>
+      (i.toLong, (0 to rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length))))
+    }
+    val df = cases.toDF("doc_id", "sh")
+    val fused = df.select(col("doc_id"), MinhashSig.sig(col("sh"), 8).as("sig"))
+    val oracle = compositional(df, 8)
+    val joined = fused.as("f").join(oracle.as("o"), "doc_id")
+      .where(col("f.sig") =!= col("o.sig"))
+    assert(joined.count() === 0)
+  }
+
   test("agrees with a commons-codec replay on unicode and duplicate shingles") {
     import spark.implicits._
     val shingles = Seq("the quick fox", "éclair au café", "日本 語 テスト", "the quick fox")
