@@ -202,7 +202,10 @@ object MediaPipeline {
     */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    // FanOut before the typed stages: decode/resize/frame-sample are the
+    // CPU-heavy per-row phases, and a single-file table would otherwise
+    // run them all on one core (no-op at production split counts)
+    graft.core.FanOut(spark.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id").as("media_id"),
         col("source").as("kind"),
         col("text").cast("binary").as("payload"))

@@ -63,7 +63,7 @@ object Multimodal extends QueryModule {
   def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{MediaPipeline, MediaRow}
-    val media = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    val media = graft.core.FanOut(Tables(s, dir).documents.select(col("doc_id"))).as[Long]
       .map { id =>
         val w = (id % 64 + 1).toInt
         val h = (id * 7 % 64 + 1).toInt
@@ -101,7 +101,7 @@ object Multimodal extends QueryModule {
   def mmResizeReal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.MediaPipeline
-    Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    graft.core.FanOut(Tables(s, dir).documents.select(col("doc_id"))).as[Long]
       .map { id =>
         val src = MediaPipeline.encodeBmp((id % 64 + 1).toInt, (id * 7 % 64 + 1).toInt)
         val w2 = (id * 3 % 32 + 1).toInt
