@@ -28,7 +28,11 @@ object Skew {
     * mod n), NOT a hash of the row: a row hash sends IDENTICAL rows to
     * the same salt, so the worst skew case — millions of duplicate rows
     * on one hot key — would not spread at all. The counter round-robins
-    * every run of rows, duplicates included, across all n salts.
+    * every run of rows, duplicates included, across all n salts. The
+    * partition id is mixed in before the mod: the per-partition base
+    * 2³³ is ≡ 0 mod any power-of-two n, so without it every partition's
+    * round-robin would start at salt 0 and inputs with many small
+    * partitions would systematically overload the low salts.
     * Retry-safety: the salt value a left row gets cannot change which
     * right row it matches — the right side carries ALL n salts for every
     * key, so each left row joins exactly once whatever its salt — hence
@@ -43,7 +47,8 @@ object Skew {
       numSalts: Int): DataFrame = {
     require(numSalts > 0)
     val saltedLeft = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int"))
+      pmod(monotonically_increasing_id() + spark_partition_id(),
+        lit(numSalts.toLong)).cast("int"))
     val salts = explode(sequence(lit(0), lit(numSalts - 1)))
     val saltedRight = right.withColumn("__salt", salts)
     saltedLeft
@@ -63,9 +68,11 @@ object Skew {
   def saltedCount(df: DataFrame, key: String, numSalts: Int): DataFrame = {
     require(numSalts > 0)
     // Partition-local counter, not a row hash — same rationale as
-    // saltedInnerJoin: duplicate rows of the hot key must still spread.
+    // saltedInnerJoin: duplicate rows of the hot key must still spread,
+    // with the partition id mixed in to decorrelate the starting phase.
     df.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(numSalts.toLong)).cast("int"))
+        pmod(monotonically_increasing_id() + spark_partition_id(),
+          lit(numSalts.toLong)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

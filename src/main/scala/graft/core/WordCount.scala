@@ -133,15 +133,18 @@ object WordCount {
     * (`mpi_mapreduce.c:278-289`, `mpi_mm.sub:11`). Output is unordered —
     * comparisons must be order-insensitive (SURVEY §2.10).
     *
-    * `byRefHash = true` reproduces the reference's file LAYOUT as well as
-    * its contents: the reference writes one file per reducer, and a
-    * word's reducer is `hashFunc(word) % nReducers`
-    * (`mpi_mapreduce.c:108-117,278-289`) — here a repartition keyed on
-    * the byte-exact [[graft.functions.RefHash]] bucket, so part-file i
-    * holds exactly the words whose reference hash lands in bucket-class
-    * i. Semantics-invisible for the counts (any total partitioning
-    * works); off by default because hash-partitioned output is the
-    * cosmetic parity knob, not the fastest layout.
+    * `byRefHash = true` reproduces the reference's file GROUPING: the
+    * reference writes one file per reducer, a word's reducer being
+    * `hashFunc(word) % nReducers` (`mpi_mapreduce.c:108-117,278-289`) —
+    * here a repartition keyed on the byte-exact
+    * [[graft.functions.RefHash]] bucket, which guarantees bucket→file
+    * EXCLUSIVITY (every reference bucket lands wholly in one part-file;
+    * SinkAndRuleSpec asserts it). The bucket→file-INDEX assignment is
+    * murmur-permuted by the repartition, so part-file numbering differs
+    * from the reference's `bucket % nReducers` — same partition classes,
+    * permuted file names. Semantics-invisible for the counts (any total
+    * partitioning works); off by default because hash-partitioned output
+    * is the cosmetic parity knob, not the fastest layout.
     */
   def sink(counts: DataFrame, outDir: String, partitions: Int = 0,
       byRefHash: Boolean = false): Unit = {

@@ -51,13 +51,42 @@ object MediaPipeline {
     crc
   }
 
+  /** Strict magic-number sniff: only hand payloads to ImageIO when the
+    * prefix is an unambiguous image signature. ImageIO's own sniffers
+    * are looser — its BMP reader accepts anything starting with the two
+    * ASCII bytes 'BM', perfectly plausible at the start of real document
+    * text — and a garbage header that happened to parse would yield
+    * real-decoder dims where the pipeline (and the oracle) expect the
+    * stub. For BMP the two printable magic bytes are corroborated with
+    * the DIB header: a known header-size constant whose upper three
+    * bytes are NUL (text payloads contain no NULs) and planes == 1.
+    */
+  def looksLikeImage(p: Array[Byte]): Boolean = {
+    if (p.length < 8) return false
+    def u(i: Int) = p(i) & 0xff
+    val png = u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G' &&
+      u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a
+    val jpeg = u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff
+    val gif = u(0) == 'G' && u(1) == 'I' && u(2) == 'F' && u(3) == '8' &&
+      (u(4) == '7' || u(4) == '9') && u(5) == 'a'
+    val tiff = (u(0) == 'I' && u(1) == 'I' && u(2) == 0x2a && u(3) == 0) ||
+      (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 0x2a)
+    val bmp = p.length >= 54 && u(0) == 'B' && u(1) == 'M' && {
+      val dib = u(14) | (u(15) << 8) | (u(16) << 16) | (u(17) << 24)
+      val planes = u(26) | (u(27) << 8)
+      (dib == 40 || dib == 52 || dib == 56 || dib == 108 || dib == 124) && planes == 1
+    }
+    png || jpeg || gif || tiff || bmp
+  }
+
   /** Real image decode via `javax.imageio`: header-only — asks the
     * matched reader for dimensions and frame count, never decodes pixel
-    * data, so cost is O(header) not O(pixels). Returns None when no
-    * JDK reader recognizes the payload (then the stub takes over).
+    * data, so cost is O(header) not O(pixels). Returns None when the
+    * payload carries no unambiguous image magic ([[looksLikeImage]]) or
+    * no JDK reader recognizes it (then the stub takes over).
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
-    if (payload.length < 8) return None
+    if (!looksLikeImage(payload)) return None
     try {
       // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
       // the latter defaults to a FileCacheImageInputStream that creates
@@ -174,11 +203,14 @@ object MediaPipeline {
     * the fan-out stage a video pipeline runs before per-frame feature
     * extraction. The Spark-side contract is real: one input row becomes
     * ⌈frames/everyN⌉ typed rows, partition-local, no shuffle until the
-    * consumer keys on something. The frame SPLIT is the stub codec
-    * (frame count from [[decodeStub]]; frame i's payload is the i-th of
-    * `frames` near-equal byte slices — deterministic, oracle-replayable
-    * arithmetic); a production deployment swaps the slice for a real
-    * demuxer emitting encoded frames at the same schema.
+    * consumer keys on something. The frame SPLIT is the stub codec and
+    * deliberately calls [[decodeStub]] directly — frames-as-byte-slices
+    * is a stub-codec concept, and routing through the real-image sniff
+    * here would let a payload that happens to parse as an image diverge
+    * from the oracle's stub arithmetic (frame i's payload is the i-th of
+    * `frames` near-equal byte slices — deterministic, oracle-replayable);
+    * a production deployment swaps the slice for a real demuxer emitting
+    * encoded frames at the same schema.
     */
   def sampleFrames(
       spark: SparkSession, media: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
@@ -187,7 +219,7 @@ object MediaPipeline {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val n = r.payload.length
-        val frames = decode(r.payload)._3
+        val frames = decodeStub(r.payload)._3
         (0 until frames by everyN).iterator.map { i =>
           val from = (i.toLong * n / frames).toInt
           val until = ((i + 1).toLong * n / frames).toInt
