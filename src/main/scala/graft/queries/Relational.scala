@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
-import graft.core.Skew
+import graft.core.{Bucketing, Skew}
 import graft.sources.Tables
 
 /** Relational operator coverage over the TPC-H-ish testdata.
@@ -491,7 +491,41 @@ object Relational extends QueryModule {
       .orderBy("error_id")
   }
 
+  /** Bucketed co-located join — the pay-once-shuffle-never-again layout
+    * for a fact table joined on the same key by every downstream query.
+    * Orders and lineitem are written bucketed (×8) and sorted on their
+    * orderkey via [[graft.core.Bucketing.writeBucketed]]; the join then
+    * reads matching buckets directly — NO Exchange under the
+    * SortMergeJoin (PlanShapeSpec asserts it on this exact query). At
+    * 100 TB the bucketed write is one shuffle amortized over every
+    * subsequent orderkey join; the only exchanges left here are the
+    * post-join aggregate's. The DuckDB oracle runs the plain join —
+    * bucketing must be invisible to the result.
+    *
+    * The bucket files land in a temp dir (external tables), not the
+    * session warehouse — the gate session's default warehouse is the
+    * process cwd, which may be the repo checkout.
+    */
+  def q30BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q30_buckets").toString
+    Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_orderpriority"),
+      "q30_orders_b", "o_orderkey", 8, Some(s"$base/orders"))
+    Bucketing.writeBucketed(
+      t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+      "q30_lineitem_b", "l_orderkey", 8, Some(s"$base/lineitem"))
+    Bucketing.bucketedEquiJoin(s, "q30_orders_b", "q30_lineitem_b",
+        "o_orderkey", "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("disc_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_bucketed_join" -> (q30BucketedJoin _),
     "q29_range_join" -> (q29RangeJoin _),
     "q28_asof_join" -> (q28AsofJoin _),
     "q27_skew_join" -> (q27SkewJoin _),
@@ -524,6 +558,12 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // the PLAIN join — the bucketed layout must be result-invisible
+    "q30_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q27_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents

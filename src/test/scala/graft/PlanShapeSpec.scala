@@ -63,6 +63,21 @@ class PlanShapeSpec extends SparkSpec {
       s"range join must stay an equi-join:\n$p")
   }
 
+  test("q30_bucketed_join: no Exchange beneath the SortMergeJoin, bucketed scans") {
+    // the exact oracled query, not a stand-in — the one scale utility
+    // that previously had only a synthetic-table plan assertion
+    val p = plan("q30_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scans must read bucketed:\n$p")
+    // the plan prints parents above children: everything after the join
+    // node is its subtree, which must be exchange-free (the post-join
+    // aggregate/sort exchanges sit above it)
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      s"no shuffle may feed the bucketed join:\n$p")
+  }
+
   test("q28_asof_join: one user-keyed exchange, no range-join pair explosion") {
     val p = plan("q28_asof_join")
     val keyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
