@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, RepartitionOperation}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Conditional fan-out for CPU-heavy per-row pipelines sitting on a
   * low-parallelism scan.
@@ -24,9 +26,35 @@ import org.apache.spark.sql.DataFrame
   * assignment is deterministic under task retries.
   */
 object FanOut {
-  def apply(df: DataFrame): DataFrame = {
-    val splits = df.rdd.getNumPartitions // file listing only, no job
+
+  /** Parallelism estimate read off the OPTIMIZED LOGICAL plan — no
+    * physical planning and no RDD lineage is forced just to decide
+    * whether to fan out (`df.rdd` would build both per construction).
+    * The topmost explicit repartition/coalesce pins the answer;
+    * otherwise leaves contribute their file counts (a lower bound on
+    * splits — files only split further, which only disables the
+    * fan-out sooner), LocalRelation counts as 1, and unknown leaf
+    * types count as fully parallel so the operator errs toward no-op.
+    */
+  private def splitEstimate(df: DataFrame): Int = {
+    val plan = df.queryExecution.optimizedPlan
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (splits < cores) df.repartition(cores) else df
+    plan.collectFirst { case r: RepartitionOperation => r.numPartitions }
+      .getOrElse {
+        plan.collectLeaves().map {
+          case lr: LogicalRelation =>
+            lr.relation match {
+              case fs: HadoopFsRelation => fs.location.inputFiles.length max 1
+              case _                    => cores
+            }
+          case _: LocalRelation => 1
+          case _                => cores
+        }.sum
+      }
+  }
+
+  def apply(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (splitEstimate(df) < cores) df.repartition(cores) else df
   }
 }

@@ -53,9 +53,17 @@ object TextAnalysis extends QueryModule {
     */
   def taLangId(s: SparkSession, dir: String): DataFrame = {
     def score(lang: String): Column =
-      size(filter(toks, t => t.isin(stopwords(lang).map(x => x: Any): _*)))
+      size(filter(col("__toks"), t => t.isin(stopwords(lang).map(x => x: Any): _*)))
         .as(s"s_$lang")
+    // Tokenize ONCE into a staged array, then score the four languages
+    // over it. Without the staging project the four filters each carry
+    // their own byte_split(text) and dedup rests on config-gated
+    // subexpression elimination; with it, one tokenizer pass per row is
+    // the plan's shape (PlanShapeSpec counts the byte_split nodes) —
+    // CollapseProject keeps the stage because the alias is non-cheap
+    // and referenced four times.
     val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("__toks"))
       .select(col("doc_id"), col("lang"), score("en"), score("de"), score("fr"), score("es"))
     val pred = when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
       .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
@@ -72,10 +80,12 @@ object TextAnalysis extends QueryModule {
     * the standard cheap pre-filter before expensive dedup/training.
     */
   def taQuality(s: SparkSession, dir: String): DataFrame =
+    // same staging as ta_lang_id: tokenize+filter once, consume twice
     docs(s, dir)
+      .select(col("doc_id"), filter(toks, t => t =!= "").as("__nz"))
       .select(col("doc_id"),
-        size(filter(toks, t => t =!= "")).as("n_tokens"),
-        size(array_distinct(filter(toks, t => t =!= ""))).as("n_distinct"))
+        size(col("__nz")).as("n_tokens"),
+        size(array_distinct(col("__nz"))).as("n_distinct"))
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast("double") / col("n_tokens"), 6))
       .withColumn("quality",

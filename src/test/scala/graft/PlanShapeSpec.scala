@@ -78,6 +78,18 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffle may feed the bucketed join:\n$p")
   }
 
+  test("ta_lang_id / ta_quality: tokenizer evaluated once per row") {
+    // the staged token array must survive optimization — exactly one
+    // byte_split node in the physical plan, not one per consumer
+    // (subexpression elimination would hide the duplicates, but it is
+    // config-gated; the plan shape must not depend on it)
+    Seq("ta_lang_id", "ta_quality").foreach { q =>
+      val p = plan(q)
+      val cnt = "byte_split\\(".r.findAllIn(p).size
+      assert(cnt == 1, s"$q should evaluate byte_split exactly once, found $cnt:\n$p")
+    }
+  }
+
   test("q28_asof_join: one user-keyed exchange, no range-join pair explosion") {
     val p = plan("q28_asof_join")
     val keyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
