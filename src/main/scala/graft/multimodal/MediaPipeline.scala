@@ -146,6 +146,43 @@ object MediaPipeline {
     b.array() // pixel rows stay zeroed — header-only decode ignores them
   }
 
+  /** Minimal animated GIF via the JDK's sequence writer — the
+    * multi-frame analog of [[encodeBmp]]. Frame pixels are solid fills
+    * (deterministic), but GIF's LZW coding makes the byte size
+    * non-replayable arithmetic, so oracles built on it assert the
+    * DECODED width/height/frame-count (pure functions of table data),
+    * not the payload size. Exists so the real `getNumImages` multi-frame
+    * path of [[decodeImage]] is exercised — and gated — on real data.
+    */
+  def encodeGif(width: Int, height: Int, frames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0,
+      s"bad gif spec ${width}x$height x$frames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var i = 0
+      while (i < frames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(i * 40 % 256, 80, 160))
+          g.fillRect(0, 0, width, height)
+        } finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** STUB decoder — deterministic function of the payload bytes standing
     * in for the codecs this environment lacks (audio/video). A production
     * deployment swaps this body for e.g. a JNI codec call; the signature

@@ -90,6 +90,31 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL multi-frame decode under the oracle: an animated GIF per row
+    * (1–4 solid frames, dims and frame count pure doc_id arithmetic)
+    * through the same [[graft.multimodal.MediaPipeline.extractFeatures]]
+    * pipeline — exercising `getNumImages > 1`, the one real-decoder path
+    * mm_decode_real's single-frame BMPs cannot reach. The GIF's LZW
+    * byte size is not replayable arithmetic, so the oracle gates the
+    * DECODED dims + frame count only: a decode that fell to the stub,
+    * miscounted frames, or misread the logical screen hash-mismatches.
+    */
+  def mmGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{MediaPipeline, MediaRow}
+    val media = graft.core.FanOut(Tables(s, dir).documents.select(col("doc_id"))).as[Long]
+      .map { id =>
+        val w = (id % 16 + 1).toInt
+        val h = (id * 3 % 16 + 1).toInt
+        val f = (id % 4 + 1).toInt
+        MediaRow(id, "gif", MediaPipeline.encodeGif(w, h, f))
+      }
+    MediaPipeline.extractFeatures(s, media)
+      .select(col("media_id").as("doc_id"),
+        col("width"), col("height"), col("frames"))
+      .orderBy("doc_id")
+  }
+
   /** REAL resize under the oracle: encode a BMP per row (mm_decode_real
     * dims), rescale it for real (`ImageIO.read` → raster blit → BMP
     * re-encode — O(pixels), the thumbnailing stage), then RE-DECODE the
@@ -120,6 +145,7 @@ object Multimodal extends QueryModule {
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
     "mm_decode_real" -> (mmDecodeReal _),
+    "mm_gif_frames" -> (mmGifFrames _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize_real" -> (mmResizeReal _),
   )
@@ -160,6 +186,15 @@ object Multimodal extends QueryModule {
         | CAST(doc_id * 3 % 32 + 1 AS INTEGER) AS width,
         | CAST(doc_id * 5 % 32 + 1 AS INTEGER) AS height,
         | CAST(54 + (doc_id * 5 % 32 + 1) * (((doc_id * 3 % 32 + 1) * 3 + 3) // 4 * 4) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays the GIF spec arithmetic (dims + frame count from doc_id)
+    // against what the real ImageIO GIF reader DECODES — byte size is
+    // deliberately absent (LZW-coded, not replayable arithmetic)
+    "mm_gif_frames" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        | CAST(doc_id * 3 % 16 + 1 AS INTEGER) AS height,
+        | CAST(doc_id % 4 + 1 AS INTEGER) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Replays the BMP geometry the Spark side ENCODES, against the dims
     // the real ImageIO reader DECODES — the two agree only if the decode

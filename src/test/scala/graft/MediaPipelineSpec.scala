@@ -84,6 +84,18 @@ class MediaPipelineSpec extends SparkSpec {
     assert(frames.length === 1 + bmp.length % 16)
   }
 
+  test("animated GIF: decodeImage counts real frames via getNumImages") {
+    Seq(1, 2, 3, 7).foreach { n =>
+      val gif = MediaPipeline.encodeGif(12, 9, n)
+      assert(MediaPipeline.looksLikeImage(gif), s"gif x$n must pass the magic gate")
+      val decoded = MediaPipeline.decodeImage(gif)
+      assert(decoded.isDefined, s"gif x$n not recognized")
+      val (w, h, frames, _) = decoded.get
+      assert(w === 12 && h === 9, s"gif x$n decoded ${w}x$h")
+      assert(frames === n, s"gif should report $n frames, got $frames")
+    }
+  }
+
   test("extractFeatures carries real decoded dims through the Dataset pipeline") {
     import spark.implicits._
     val rows = Seq(
