@@ -14,15 +14,35 @@ import graft.QueryModule
   * to the batch semantics — the one component VERDICT r2 listed as
   * tested-but-unoracled.
   *
-  * Harness shape: file-stream source → stateful aggregation → Complete
-  * output into a memory sink, then the sink table (a batch DataFrame) is
-  * returned for the driver's hash-compare. The memory sink collects the
-  * AGGREGATED result (≤ distinct-keys rows) to the driver — an oracle
-  * harness, not the scale path; production writes Update/Append deltas to
-  * a real sink (kafka/parquet) with watermark-bounded state
-  * (`EventStream` Scaladoc).
+  * Two harness shapes, both under the gate:
+  *   - Complete → memory sink (`st_word_count`, `st_hourly`): the full
+  *     aggregate is the state, collected to the driver — the simplest
+  *     oracle harness (≤ distinct-keys rows).
+  *   - The PRODUCTION shapes (`st_hourly_append`, `st_wc_update`):
+  *     Append mode to a parquet FILE sink with the watermark actually
+  *     evicting window state, and Update mode whose per-batch deltas a
+  *     `foreachBatch` upserts to a parquet delta log — then the sink is
+  *     READ BACK and reconciled against the batch oracle. State is
+  *     watermark-bounded (append) / per-key (update); nothing aggregate-
+  *     sized ever sits on the driver.
   */
 object StreamingQueries extends QueryModule {
+
+  /** Fresh local directory for a stream's sink/checkpoint — recreated
+    * empty every run so re-runs never resume a stale checkpoint.
+    */
+  private def freshDir(name: String): String = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream", name)
+    if (java.nio.file.Files.exists(base)) {
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(base)
+    base.toString
+  }
 
   /** Start `agg` in Complete mode into a memory sink, drain all available
     * input, stop, and return the sink table. Complete mode keeps the full
@@ -75,6 +95,84 @@ object StreamingQueries extends QueryModule {
       .orderBy("hour", "event_type")
   }
 
+  /** The bounded-state PRODUCTION shape of st_hourly: Append mode to a
+    * parquet FILE sink. A window row is written exactly once — when the
+    * watermark (max event time − 30 min lateness) passes its end — and
+    * its state is evicted at the same moment, so state never exceeds the
+    * windows inside the lateness horizon and no aggregate ever sits on
+    * the driver. The sink directory is then read back as the result.
+    *
+    * The oracle replays exactly what Append emits: every (hour,
+    * event_type) group EXCEPT those the terminal watermark never passed
+    * — window_end ms ≤ max_ts ms − 1 800 000 keeps a window open
+    * (eviction fires when `end − 1 < watermark` in milliseconds; the
+    * watermark advances after the data batch and the final no-data
+    * micro-batch flushes everything it passed).
+    */
+  def stHourlyAppend(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // [e] glob: single-file table, same reason as stWordCount
+    val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = freshDir("st_hourly_append/out")
+    val chk = freshDir("st_hourly_append/chk")
+    val q = EventStream.hourlyCounts(ev).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** The incremental-delta PRODUCTION shape of st_word_count: the corpus
+    * split into 8 files streamed one per trigger (a genuinely
+    * multi-batch run), Update mode emitting only the words whose counts
+    * CHANGED each batch, and a `foreachBatch` appending those deltas —
+    * stamped with the batch id — to a parquet delta log (the upsert
+    * pattern for sinks without native update). The log is read back and
+    * reconciled: each word's latest delta is its final count, which must
+    * hash-equal the batch word count. Per-trigger output is
+    * O(changed keys), driver holds nothing.
+    */
+  def stWcUpdate(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = freshDir("st_wc_update/src")
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("text").as("value"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(srcDir)
+    val deltaDir = freshDir("st_wc_update/delta")
+    val chk = freshDir("st_wc_update/chk")
+    val lines = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "value", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = EventStream.wordCount(lines).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(deltaDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("word").orderBy(col("batch_id").desc)
+    s.read.parquet(deltaDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("word"), col("count").as("cnt"))
+      .orderBy("word")
+  }
+
   /** The STATEFUL path (flatMapGroupsWithState event-time sessionization)
     * under the oracle — the one streaming component st_word_count /
     * st_hourly (plain stateful aggregations) don't reach. Unlike those
@@ -108,6 +206,8 @@ object StreamingQueries extends QueryModule {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_word_count" -> (stWordCount _),
     "st_hourly" -> (stHourly _),
+    "st_hourly_append" -> (stHourlyAppend _),
+    "st_wc_update" -> (stWcUpdate _),
     "st_sessionize" -> (stSessionize _),
   )
 
@@ -118,6 +218,23 @@ object StreamingQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),
     "st_hourly" -> Relational.oracles("q15_events_hourly"),
+    // the reconciled delta log must equal the batch word count exactly
+    "st_wc_update" -> WordCountQueries.oracles("wc_word_count"),
+    // q15 restricted to the windows Append actually emits: those whose
+    // end the terminal watermark (max ts − 30 min, in ms) passed
+    "st_hourly_append" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
+        |), h AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY hour_ts, event_type
+        |)
+        |SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  n_events, sum_value
+        |FROM h, wm
+        |WHERE epoch_us(hour_ts) // 1000 + 3600000 - 1 < wm_ms
+        |ORDER BY hour, event_type""".stripMargin,
     "st_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS us,
