@@ -427,7 +427,65 @@ object Dedup extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Connected components over an undirected pair list — the cluster-
+    * formation step a dedup pipeline runs AFTER pair generation, turning
+    * verified near-dup pairs into keep/drop groups (cluster id = the
+    * minimum member id, the canonical "keep" document).
+    *
+    * Min-label propagation to fixpoint: every node starts at
+    * least(self, min neighbor) and each round takes the min of its label
+    * and its neighbors' labels — all hash-partitioned joins/aggregates
+    * on node id, nothing driver-sided (the convergence probe is
+    * `isEmpty` on the changed-label diff, an O(1)-row answer).
+    * Rounds = component diameter, and near-dup components are
+    * quasi-cliques (diameter 2-3 in practice); a pathological chain
+    * corpus would call for the large-star/small-star contraction
+    * (O(log²) rounds) behind this same signature. Lineage is truncated
+    * per round (localCheckpoint) so the plan does not grow with the
+    * iteration count.
+    */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().persist()
+    var labels = e.groupBy(col("a").as("doc_id"))
+      .agg(min("b").as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = e
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
+      val next = labels.join(neighborMin, "doc_id")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nmin")).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .where(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Cluster formation under the oracle: components of the VERIFIED
+    * minhash near-dup pairs at J ≥ 0.5 (the banding design point), one
+    * row per clustered document with its canonical keep id. DuckDB
+    * replays the full minhash pair derivation, then closes it
+    * transitively with a recursive CTE — a propagation that mislabeled
+    * one chained component hash-mismatches.
+    */
+  def ddCluster(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(
+      ddMinhashLsh(s, dir).where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cluster" -> (ddCluster _),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
@@ -487,13 +545,13 @@ object Dedup extends QueryModule {
     s"SELECT doc_id, $b AS band_idx, $bandVal AS band_val FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
-  val oracles: Map[String, String] = Map(
-    "dd_exact" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
-        | min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
-    "dd_minhash_lsh" ->
-      s"""$shingleCte, hashed AS (
+  /** The full minhash pair derivation — shared verbatim by the
+    * dd_minhash_lsh oracle and (as a wrapped derived table) the
+    * dd_cluster oracle, so the cluster gate replays the exact pair set
+    * the Spark side clusters.
+    */
+  private lazy val minhashOracleSql: String =
+    s"""$shingleCte, hashed AS (
          |  SELECT doc_id, unnest(sh) AS sng FROM s
          |), mins AS (
          |  SELECT doc_id,
@@ -524,7 +582,32 @@ object Dedup extends QueryModule {
          |FROM cand
          |JOIN sig sa ON sa.doc_id = doc_a
          |JOIN sig sb ON sb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "dd_minhash_lsh" -> minhashOracleSql,
+    // transitive closure (recursive CTE) over the SAME pair derivation
+    // the Spark side clusters; cluster id = min reachable doc id
+    "dd_cluster" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    $minhashOracleSql
+         |  ) WHERE jaccard >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+         |)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
