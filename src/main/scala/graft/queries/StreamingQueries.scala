@@ -173,6 +173,31 @@ object StreamingQueries extends QueryModule {
       .orderBy("word")
   }
 
+  /** Stream-static ENRICHMENT join — the remaining streaming join shape
+    * ([[stHourlyAppend]] covers windowed state, [[stSessionize]] custom
+    * state): each arriving event is joined to the static customer
+    * dimension (broadcast — the dim never streams, so each micro-batch
+    * pays a map-side hash probe, no stream-stream state), then
+    * aggregated per market segment. Checked against the batch join's
+    * oracle (same SQL as the skew-join twin q27): enrichment must be
+    * result-invisible to how the rows arrived.
+    */
+  def stEnrich(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // [e] glob: single-file table, same reason as stWordCount
+    val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      .select(col("user_id"), col("value"))
+    val cust = broadcast(s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    val agg = ev.join(cust, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    runToCompletion(s, agg, "st_enrich_sink")
+      .orderBy("c_mktsegment")
+  }
+
   /** The STATEFUL path (flatMapGroupsWithState event-time sessionization)
     * under the oracle — the one streaming component st_word_count /
     * st_hourly (plain stateful aggregations) don't reach. Unlike those
@@ -208,6 +233,7 @@ object StreamingQueries extends QueryModule {
     "st_hourly" -> (stHourly _),
     "st_hourly_append" -> (stHourlyAppend _),
     "st_wc_update" -> (stWcUpdate _),
+    "st_enrich" -> (stEnrich _),
     "st_sessionize" -> (stSessionize _),
   )
 
@@ -220,6 +246,9 @@ object StreamingQueries extends QueryModule {
     "st_hourly" -> Relational.oracles("q15_events_hourly"),
     // the reconciled delta log must equal the batch word count exactly
     "st_wc_update" -> WordCountQueries.oracles("wc_word_count"),
+    // the batch join's oracle verbatim (q27's plain join): streaming
+    // enrichment must be result-invisible
+    "st_enrich" -> Relational.oracles("q27_skew_join"),
     // q15 restricted to the windows Append actually emits: those whose
     // end the terminal watermark (max ts − 30 min, in ms) passed
     "st_hourly_append" ->

@@ -188,7 +188,28 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "rank")
   }
 
+  /** Deterministic stratified sampling — the reproducible-subset
+    * primitive a training pipeline needs (rerun the job, get the SAME
+    * sample, on any cluster, at any partitioning). The coin is
+    * `md5(seed || doc_id)`: a fixed-width lowercase hex prefix compared
+    * lexicographically IS a uniform numeric threshold test, pure per-row
+    * arithmetic both engines evaluate identically — unlike
+    * `DataFrame.sample`, whose outcome depends on partition layout.
+    * Strata: 20% of every language except English at 5% (the downsample-
+    * the-majority-class shape). Scales as a pushed-down filter: no
+    * shuffle, no state, the scan drops 80-95% of rows in place.
+    */
+  def taSample(s: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(concat(lit("graft-sample-1|"), col("doc_id"))), 1, 4)
+    val rate = when(col("lang") === "en", lit("0ccc")).otherwise(lit("3333"))
+    docs(s, dir)
+      .where(coin < rate)
+      .select(col("doc_id"), col("lang"), coin.as("coin"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_sample" -> (taSample _),
     "ta_top_terms_lang" -> (taTopTermsLang _),
     "ta_doc_stats" -> (taDocStats _),
     "ta_lang_id" -> (taLangId _),
@@ -203,6 +224,14 @@ object TextAnalysis extends QueryModule {
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // identical md5-prefix coin: hex-string compare = numeric threshold
+    "ta_sample" ->
+      """SELECT doc_id, lang,
+        | substr(md5('graft-sample-1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS coin
+        |FROM documents
+        |WHERE substr(md5('graft-sample-1|' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |  < CASE WHEN lang = 'en' THEN '0ccc' ELSE '3333' END
+        |ORDER BY doc_id""".stripMargin,
     "ta_top_terms_lang" ->
       """WITH terms AS (
         |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
