@@ -208,7 +208,45 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals — the duplicate-content quality gates a training
+    * pipeline applies FIRST, before any candidate-generating dedup
+    * (cf. the Gopher/MassiveText repetition filters): the fraction of
+    * duplicated tokens and of duplicated adjacent word-bigrams. Pure
+    * per-row array arithmetic — tokenize once into a staged array, form
+    * bigrams by zipping the array against its own tail, one distinct
+    * pass over each — so there is no explode, no join, no shuffle
+    * except the output sort: at 100 TB this runs at scan speed inside
+    * whole-stage codegen, which is exactly what a pre-filter must do.
+    */
+  def taRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), filter(toks, t => t =!= "").as("__w"))
+      .select(col("doc_id"), col("__w"),
+        // adjacent bigrams = zip(w[0..n-2], w[1..n-1]); guard n<2 because
+        // slice's length argument must be non-negative
+        when(size(col("__w")) >= 2,
+          zip_with(
+            slice(col("__w"), lit(1), size(col("__w")) - 1),
+            slice(col("__w"), lit(2), size(col("__w")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")).as("__bg"))
+      .select(col("doc_id"),
+        size(col("__w")).as("n_tokens"),
+        size(array_distinct(col("__w"))).as("n_distinct"),
+        size(col("__bg")).as("n_bigrams"),
+        size(array_distinct(col("__bg"))).as("n_distinct_bigrams"))
+      .withColumn("dup_token_ratio",
+        round(when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .otherwise(0.0), 6))
+      .withColumn("dup_bigram_ratio",
+        round(when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .otherwise(0.0), 6))
+      .orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> (taRepetition _),
     "ta_sample" -> (taSample _),
     "ta_top_terms_lang" -> (taTopTermsLang _),
     "ta_doc_stats" -> (taDocStats _),
@@ -224,6 +262,30 @@ object TextAnalysis extends QueryModule {
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // bigrams via 1-indexed range(1, len) — i runs 1..len-1, pairing
+    // w[i] with w[i+1], exactly the Spark zip-against-tail
+    "ta_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM w)
+        |SELECT doc_id,
+        | CAST(len(w) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        | CAST(len(bg) AS INTEGER) AS n_bigrams,
+        | CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct_bigrams,
+        | round(CASE WHEN len(w) > 0
+        |   THEN 1 - len(list_distinct(w))::DOUBLE / len(w) ELSE 0 END, 6)
+        |   AS dup_token_ratio,
+        | round(CASE WHEN len(bg) > 0
+        |   THEN 1 - len(list_distinct(bg))::DOUBLE / len(bg) ELSE 0 END, 6)
+        |   AS dup_bigram_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
     // identical md5-prefix coin: hex-string compare = numeric threshold
     "ta_sample" ->
       """SELECT doc_id, lang,
