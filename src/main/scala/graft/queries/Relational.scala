@@ -170,6 +170,28 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the multi-granularity aggregate shape
+    * (detail, by-priority, grand total) that is NOT a rollup prefix
+    * chain, so neither [[q11Rollup]] nor cube covers it. Plans as ONE
+    * Expand + a single hash aggregate: each input row is replicated
+    * once per set before the exchange, so at 100 TB this is one scan
+    * and one shuffle where three separate aggregates unioned would be
+    * three of each. `grouping_id()` disambiguates a genuine NULL key
+    * from a rolled-up one (leftmost grouping column = MSB, matching
+    * SQL-standard GROUPING()).
+    */
+  def q31GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Exact COUNT(DISTINCT) per group — plans as a two-phase distinct
     * aggregate (Expand + two exchanges). At 100 TB prefer
     * approx_count_distinct (HLL) — see TextAnalysis for the approx path.
@@ -549,6 +571,7 @@ object Relational extends QueryModule {
     "q09_intersect" -> (q09Intersect _),
     "q10_except" -> (q10Except _),
     "q11_rollup" -> (q11Rollup _),
+    "q31_grouping_sets" -> (q31GroupingSets _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -746,6 +769,16 @@ object Relational extends QueryModule {
       """SELECT o_orderpriority,
         | count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // GROUPING() bit order: leftmost argument = MSB, same as Spark's
+    // grouping_id()
+    "q31_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q13_case_agg" ->
       """SELECT o_orderpriority,
         | CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
