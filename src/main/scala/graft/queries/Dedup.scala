@@ -484,7 +484,46 @@ object Dedup extends QueryModule {
         .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination — the training-corpus hygiene pass that
+    * flags every train document sharing a word 3-gram with the held-out
+    * evaluation split (here: `doc_id % 10 == 0`, standing in for an
+    * external benchmark suite). Reported per contaminated train doc:
+    * how many of its distinct shingles hit the test set, its total
+    * distinct-shingle count, and the contaminated fraction.
+    *
+    * Scale shape: the test side collapses to its DISTINCT shingle set
+    * before the join, so each train posting matches AT MOST once —
+    * candidate volume is O(train postings), never quadratic, and no
+    * posting cap is needed (unlike the near-dup self-join, a hot
+    * boilerplate shingle here contributes one match per train doc,
+    * which is the correct answer). Both sides exchange on the shingle
+    * key via shuffle_hash; when the held-out set is a real benchmark
+    * suite (MBs against 100 TB of train), swap the hint for
+    * `broadcast(testSh)` and the train side never shuffles at all —
+    * the join becomes a map-side bloom-style filter. Per-doc sizes are
+    * per-row arithmetic (`size(array_distinct(sh))`), not a second
+    * aggregate over the postings.
+    */
+  def ddContam(s: SparkSession, dir: String): DataFrame = {
+    val staged = shingled(s, dir)
+    val isTest = pmod(col("doc_id"), lit(10)) === 0
+    val testSh = staged.where(isTest)
+      .select(explode(array_distinct(col("sh"))).as("shingle")).distinct()
+    val train = staged.where(!isTest)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val hits = train
+      .select(col("doc_id"), explode(col("shd")).as("shingle"))
+      .join(testSh.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_hit"))
+    hits
+      .join(train.select(col("doc_id"), size(col("shd")).as("n_sh")), "doc_id")
+      .select(col("doc_id"), col("n_hit"), col("n_sh"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("contam_ratio"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_contam" -> (ddContam _),
     "dd_cluster" -> (ddCluster _),
     "dd_exact" -> (ddExact _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -585,6 +624,25 @@ object Dedup extends QueryModule {
          |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same shingle staging; test side deduped to a distinct-shingle set
+    // so each train posting contributes at most one hit
+    "dd_contam" ->
+      s"""$shingleCte, t AS (
+         |  SELECT DISTINCT unnest(list_distinct(sh)) AS shingle
+         |  FROM s WHERE doc_id % 10 = 0
+         |), tr AS (
+         |  SELECT doc_id, list_distinct(sh) AS shd FROM s WHERE doc_id % 10 <> 0
+         |), p AS (
+         |  SELECT doc_id, unnest(shd) AS shingle FROM tr
+         |), h AS (
+         |  SELECT p.doc_id, count(*) AS n_hit
+         |  FROM p JOIN t USING (shingle) GROUP BY p.doc_id
+         |)
+         |SELECT h.doc_id, CAST(h.n_hit AS INTEGER) AS n_hit,
+         |  CAST(len(tr.shd) AS INTEGER) AS n_sh,
+         |  round(h.n_hit::DOUBLE / len(tr.shd), 6) AS contam_ratio
+         |FROM h JOIN tr ON tr.doc_id = h.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
