@@ -228,7 +228,55 @@ object StreamingQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Streaming EXACT DEDUP — `dropDuplicatesWithinWatermark` on the
+    * event key over a deliberately DOUBLED source: the events table is
+    * staged twice across 8 files, one file per trigger, so every event
+    * arrives a second time in a later micro-batch and the dedup state
+    * must swallow it. The deduped append sink is read back and
+    * aggregated; the oracle is the batch aggregate over the ORIGINAL
+    * (single-copy) table — if even one duplicate leaks through, every
+    * count doubles and the hash fails.
+    *
+    * State is one (key, expiry) entry per key inside the watermark
+    * horizon — at 100 TB/day the delay bounds state to the horizon's
+    * key-arrival volume, the reason this beats an unbounded
+    * `dropDuplicates`. The harness sets the delay longer than the
+    * dataset's time span so no first-arrival can ever be declared late
+    * by a file-ordering race (declared determinism compromise: eviction
+    * idles here; the operator, its state store, and the append path are
+    * what this query pins).
+    */
+  def stDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = freshDir("st_dedup/src")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      // integral `div`, NOT `/` — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.repartition(4).write.mode("append").parquet(srcDir)
+    ev.repartition(4).write.mode("append").parquet(srcDir)
+    val chk = freshDir("st_dedup/chk")
+    val out = freshDir("st_dedup/out")
+    val schema = s.read.parquet(srcDir).schema
+    val deduped = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dedup" -> (stDedup _),
     "st_word_count" -> (stWordCount _),
     "st_hourly" -> (stHourly _),
     "st_hourly_append" -> (stHourlyAppend _),
@@ -242,6 +290,12 @@ object StreamingQueries extends QueryModule {
   // streaming result legitimately differs from batch q16 by the
   // still-open final sessions; see the method Scaladoc).
   val oracles: Map[String, String] = Map(
+    // the batch aggregate over the SINGLE-copy table: any duplicate
+    // leaking past the dedup doubles a count and fails the hash
+    "st_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),
     "st_hourly" -> Relational.oracles("q15_events_hourly"),
     // the reconciled delta log must equal the batch word count exactly
