@@ -399,6 +399,23 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Payload masking — the PII-redaction shape over semi-structured
+    * event payloads: every digit run in `props` is replaced by a
+    * `<NUM>` token, with the per-row hit count kept for audit. Pure
+    * per-row regex work, no shuffle except the output sort, and the
+    * scan reads only (event_id, props) — at 100 TB this is the
+    * column-pruned, codegen'd pass a compliance pipeline runs before
+    * data leaves the quarantine zone. (The corpus carries PII-like
+    * content only in numeric payload values; the same
+    * `regexp_replace` chain extends to email/phone character classes.)
+    */
+  def q32MaskProps(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_id"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_masked"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"))
+      .orderBy("event_id")
+
   /** Array aggregation: the distinct order-years per customer, sorted
     * (sort_array makes collect_set deterministic — raw collect order
     * varies with partitioning) and emitted as a ','-joined string so the
@@ -572,6 +589,7 @@ object Relational extends QueryModule {
     "q10_except" -> (q10Except _),
     "q11_rollup" -> (q11Rollup _),
     "q31_grouping_sets" -> (q31GroupingSets _),
+    "q32_mask_props" -> (q32MaskProps _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -635,6 +653,13 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 'g' flag: DuckDB replaces first match only by default; Spark's
+    // regexp_replace always replaces all
+    "q32_mask_props" ->
+      """SELECT event_id,
+        | CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked,
+        | regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked
+        |FROM events ORDER BY event_id""".stripMargin,
     "q23_correlated" ->
       """SELECT p_brand, count(*) AS n_small,
         | round(sum(l_extendedprice), 2) AS small_revenue
