@@ -484,6 +484,40 @@ object Dedup extends QueryModule {
         .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** The dedup POLICY step — what a pipeline actually DOES with the
+    * clusters: per near-dup cluster ([[ddCluster]]), keep the
+    * highest-quality member ([[graft.queries.TextAnalysis.taQuality]]'s
+    * score; ties broken by doc id), report the survivor with the
+    * cluster size and its score. This closes the loop
+    * detect → cluster → select that turns the near-dup DETECTORS into
+    * an end-to-end dedup: downstream training reads survivors only.
+    *
+    * Scale shape: quality is a per-row expression pipeline joined to
+    * the (tiny relative to the corpus) clustered-doc set — at 100 TB
+    * compute quality ONLY for clustered docs by semi-joining first, so
+    * the full-corpus scan stays expression-only. Selection is one
+    * bounded window per cluster, keyed on cluster_id; cluster sizes are
+    * bounded by the LSH band caps upstream, so no window sorts an
+    * unbounded group. Tie-break on the ROUNDED score (both engines
+    * round to 6 before comparing) keeps the argmax engine-exact.
+    */
+  def ddKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val scored = ddCluster(s, dir)
+      .join(TextAnalysis.taQuality(s, dir).select("doc_id", "quality"), "doc_id")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")).cast("int"))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** Benchmark decontamination — the training-corpus hygiene pass that
     * flags every train document sharing a word 3-gram with the held-out
     * evaluation split (here: `doc_id % 10 == 0`, standing in for an
@@ -523,6 +557,7 @@ object Dedup extends QueryModule {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_keep_best" -> (ddKeepBest _),
     "dd_contam" -> (ddContam _),
     "dd_cluster" -> (ddCluster _),
     "dd_exact" -> (ddExact _),
@@ -589,6 +624,28 @@ object Dedup extends QueryModule {
     * dd_cluster oracle, so the cluster gate replays the exact pair set
     * the Spark side clusters.
     */
+  /** Shared head of the dd_cluster / dd_keep_best oracles: the verified
+    * minhash pairs at J ≥ 0.5, closed transitively (recursive CTE),
+    * ending in `c(doc_id, cluster_id)`.
+    */
+  private lazy val clusterCte: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    $minhashOracleSql
+       |  ) WHERE jaccard >= 0.5
+       |), e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+       |), c AS (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY a
+       |)""".stripMargin
+
   private lazy val minhashOracleSql: String =
     s"""$shingleCte, hashed AS (
          |  SELECT doc_id, unnest(sh) AS sng FROM s
@@ -651,21 +708,34 @@ object Dedup extends QueryModule {
     // transitive closure (recursive CTE) over the SAME pair derivation
     // the Spark side clusters; cluster id = min reachable doc id
     "dd_cluster" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    $minhashOracleSql
-         |  ) WHERE jaccard >= 0.5
-         |), e AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs
-         |), reach(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+      s"""$clusterCte
+         |SELECT doc_id, cluster_id FROM c ORDER BY doc_id""".stripMargin,
+    // the cluster closure joined to ta_quality's score formula; argmax
+    // per cluster on (rounded quality DESC, doc_id)
+    "dd_keep_best" ->
+      s"""$clusterCte, q AS (
+         |  SELECT doc_id,
+         |    round(0.5::DOUBLE * least(1.0::DOUBLE, n_tokens::DOUBLE / 50.0::DOUBLE)
+         |      + 0.5::DOUBLE * (n_distinct::DOUBLE / n_tokens), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |      len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct
+         |    FROM documents)
+         |), j AS (
+         |  SELECT c.doc_id, c.cluster_id, q.quality FROM c JOIN q USING (doc_id)
+         |), sel AS (
+         |  SELECT cluster_id, doc_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM j
+         |), m AS (
+         |  SELECT cluster_id, count(*) AS n_members FROM j GROUP BY cluster_id
          |)
-         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+         |SELECT s.cluster_id, s.doc_id AS keep_id,
+         |  CAST(m.n_members AS INTEGER) AS n_members, s.quality AS best_quality
+         |FROM sel s JOIN m USING (cluster_id)
+         |WHERE s.rn = 1 ORDER BY s.cluster_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
