@@ -90,6 +90,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ta_repetition: per-row arithmetic only — tokenizer once, no aggregate, sort-only exchange") {
+    val p = plan("ta_repetition")
+    val cnt = "byte_split\\(".r.findAllIn(p).size
+    assert(cnt == 1, s"token array must be staged once, found $cnt byte_split:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Exchange hashpartitioning"),
+      s"repetition signals must not shuffle or aggregate:\n$p")
+  }
+
+  test("q31_grouping_sets: one Expand feeding one aggregate pair — not a union of scans") {
+    val p = plan("q31_grouping_sets")
+    assert("Expand".r.findAllIn(p).size == 1, s"expected exactly one Expand:\n$p")
+    assert(!p.contains("Union"), s"grouping sets must not plan as a union of aggregates:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE scan of orders, got $scans:\n$p")
+  }
+
+  test("dd_contam: shingle-keyed equi-join, no pair explosion, no broadcast of the corpus side") {
+    val p = plan("dd_contam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination join must stay an equi-join:\n$p")
+    assert("Exchange hashpartitioning\\(shingle".r.findAllIn(p).nonEmpty,
+      s"expected a shingle-keyed exchange:\n$p")
+  }
+
+  test("q32_mask_props: scan pruned to the two needed columns, no shuffle before the sort") {
+    val p = plan("q32_mask_props")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(sys.error(s"no FileScan in:\n$p"))
+    assert(scanCols.split(",").length == 2,
+      s"masking must read exactly (event_id, props), got: $scanCols")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row masking must not key-shuffle:\n$p")
+  }
+
   test("q28_asof_join: one user-keyed exchange, no range-join pair explosion") {
     val p = plan("q28_asof_join")
     val keyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
