@@ -399,6 +399,27 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Exact percentiles per group — median and p95 of lineitem quantity,
+    * plus the extremes. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the SQL-standard definition (linear
+    * interpolation at rank (n−1)·p), and l_quantity is integral, so the
+    * interpolated values are engine-exact doubles before the 6-digit
+    * round. Exact percentile sorts each group's values in the aggregate
+    * buffer — fine for bounded groups like these 3 flags; for
+    * high-cardinality groups at 100 TB use approx_percentile (KLL/GK
+    * sketch, mergeable partials) and accept rank error instead of a
+    * per-group sort.
+    */
+  def q33Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        min(col("l_quantity")).as("q_min"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q_median"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("q_p95"),
+        max(col("l_quantity")).as("q_max"))
+      .orderBy("l_returnflag")
+
   /** Payload masking — the PII-redaction shape over semi-structured
     * event payloads: every digit run in `props` is replaced by a
     * `<NUM>` token, with the per-row hit count kept for audit. Pure
@@ -590,6 +611,7 @@ object Relational extends QueryModule {
     "q11_rollup" -> (q11Rollup _),
     "q31_grouping_sets" -> (q31GroupingSets _),
     "q32_mask_props" -> (q32MaskProps _),
+    "q33_percentiles" -> (q33Percentiles _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -653,6 +675,15 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // quantile_cont = Spark's exact percentile: both interpolate at
+    // rank (n-1)*p per the SQL standard
+    "q33_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | min(l_quantity) AS q_min,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS q_median,
+        | round(quantile_cont(l_quantity, 0.95), 6) AS q_p95,
+        | max(l_quantity) AS q_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // 'g' flag: DuckDB replaces first match only by default; Spark's
     // regexp_replace always replaces all
     "q32_mask_props" ->
