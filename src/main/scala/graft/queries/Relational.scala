@@ -399,6 +399,26 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** JSONL round-trip — the interchange format LLM corpora actually
+    * ship in. The documents table is written as JSON-lines and read
+    * back with an EXPLICIT schema (inference would cost a second pass
+    * over 100 TB), then fingerprinted; the oracle hashes the ORIGINAL
+    * parquet text, so any escaping or encoding loss in the sink/source
+    * pair fails the gate. JSONL reads split by line, so the format
+    * parallelizes like parquet minus column pruning — fine for
+    * ingest/egress, wrong for analytics, which is exactly the boundary
+    * this query documents.
+    */
+  def q34JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q34_jsonl").toString
+    Tables(s, dir).documents.select("doc_id", "lang", "text")
+      .write.mode("overwrite").json(path)
+    s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Exact percentiles per group — median and p95 of lineitem quantity,
     * plus the extremes. Spark's `percentile` and DuckDB's
     * `quantile_cont` share the SQL-standard definition (linear
@@ -612,6 +632,7 @@ object Relational extends QueryModule {
     "q31_grouping_sets" -> (q31GroupingSets _),
     "q32_mask_props" -> (q32MaskProps _),
     "q33_percentiles" -> (q33Percentiles _),
+    "q34_jsonl_roundtrip" -> (q34JsonlRoundtrip _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -675,6 +696,11 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // hashes the ORIGINAL parquet text: the JSONL round-trip must be
+    // byte-lossless to match
+    "q34_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // quantile_cont = Spark's exact percentile: both interpolate at
     // rank (n-1)*p per the SQL standard
     "q33_percentiles" ->
