@@ -399,6 +399,24 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** SLIDING event-time windows (1 h length, 15 min slide) — the
+    * overlapping-window shape [[q15EventsHourly]]'s tumbling windows
+    * don't cover: every event lands in exactly 4 windows. Spark plans
+    * the multi-assignment as an Expand (×4 rows) BEFORE the one
+    * aggregate exchange — the honest cost of overlap; at 100 TB
+    * prefer the widest slide the product tolerates, since input
+    * amplification is length/slide. Both engines' window grids align
+    * (epoch and 2000-01-01 are both on the 15-minute lattice), so
+    * starts are engine-exact.
+    */
+  def q35SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
+
   /** JSONL round-trip — the interchange format LLM corpora actually
     * ship in. The documents table is written as JSON-lines and read
     * back with an EXPLICIT schema (inference would cost a second pass
@@ -633,6 +651,7 @@ object Relational extends QueryModule {
     "q32_mask_props" -> (q32MaskProps _),
     "q33_percentiles" -> (q33Percentiles _),
     "q34_jsonl_roundtrip" -> (q34JsonlRoundtrip _),
+    "q35_sliding_window" -> (q35SlidingWindow _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -696,6 +715,20 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // each event belongs to the 4 windows starting at its 15-min bucket
+    // minus {0,15,30,45} min; time_bucket's 2000-01-01 origin sits on
+    // the same 15-minute lattice as Spark's epoch-aligned grid
+    "q35_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS f15
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, f15 - to_minutes(o.off) AS ws
+        |  FROM e, (SELECT unnest([0, 15, 30, 45]) AS off) o
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  count(*) AS n_events
+        |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
     // hashes the ORIGINAL parquet text: the JSONL round-trip must be
     // byte-lossless to match
     "q34_jsonl_roundtrip" ->

@@ -95,6 +95,24 @@ object StreamingQueries extends QueryModule {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming twin of `q35_sliding_window`: overlapping event-time
+    * windows (1 h / 15 min slide) run incrementally to completion —
+    * batch≡stream equivalence for the multi-assignment window shape,
+    * checked against the batch query's oracle verbatim.
+    */
+  def stSliding(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // [e] glob: single-file table, same reason as stWordCount
+    val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      // integral `div`, NOT `/` — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    runToCompletion(s, EventStream.slidingCounts(ev), "st_sliding_sink")
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** The bounded-state PRODUCTION shape of st_hourly: Append mode to a
     * parquet FILE sink. A window row is written exactly once — when the
     * watermark (max event time − 30 min lateness) passes its end — and
@@ -279,6 +297,7 @@ object StreamingQueries extends QueryModule {
     "st_dedup" -> (stDedup _),
     "st_word_count" -> (stWordCount _),
     "st_hourly" -> (stHourly _),
+    "st_sliding" -> (stSliding _),
     "st_hourly_append" -> (stHourlyAppend _),
     "st_wc_update" -> (stWcUpdate _),
     "st_enrich" -> (stEnrich _),
@@ -298,6 +317,9 @@ object StreamingQueries extends QueryModule {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),
     "st_hourly" -> Relational.oracles("q15_events_hourly"),
+    // the batch sliding-window oracle verbatim: batch≡stream for the
+    // overlapping-window shape
+    "st_sliding" -> Relational.oracles("q35_sliding_window"),
     // the reconciled delta log must equal the batch word count exactly
     "st_wc_update" -> WordCountQueries.oracles("wc_word_count"),
     // the batch join's oracle verbatim (q27's plain join): streaming

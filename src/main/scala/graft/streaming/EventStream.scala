@@ -58,6 +58,20 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window twin of [[hourlyCounts]] (1 h length, 15 min
+    * slide): every event feeds 4 overlapping windows, so state holds
+    * ~4× the window rows of the tumbling form inside the lateness
+    * horizon — the overlap factor IS the state multiplier, the reason
+    * production slides are as wide as the product tolerates.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"))
+
 
   /** Gap-based sessionization with custom state
     * (flatMapGroupsWithState) — the streaming form of q16_sessionize:
