@@ -113,6 +113,54 @@ object StreamingQueries extends QueryModule {
       .orderBy("w_start", "event_type")
   }
 
+  /** STREAM-STREAM inner join — the last streaming join shape
+    * ([[stEnrich]] is stream-static): errors and clicks arrive as two
+    * independent streams (two branches over the same file source) and
+    * join on user within a ±5 min event-time band — the streaming twin
+    * of `q29_range_join`, checked against its oracle verbatim. The
+    * time-range condition is what lets Spark bound each side's join
+    * state to the band plus the watermark delay; the raw matched pairs
+    * go append-mode to a parquet sink and are aggregated on read-back
+    * (same pattern as [[stHourlyAppend]] — no aggregate state stacked
+    * on join state). As with [[stDedup]], the harness delay exceeds the
+    * dataset's span so no first-arrival is ever late-dropped by a
+    * file-ordering race (declared: state eviction idles here; the join
+    * operator and its two-sided state store are what this pins).
+    */
+  def stJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // [e] glob: single-file table, same reason as stWordCount
+    def src(): DataFrame = s.readStream.schema(schema)
+      .parquet(s"$dir/[e]vents.parquet")
+      // integral `div`, NOT `/` — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "3650 days")
+    val errors = src().where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "3650 days")
+    val joined = errors.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("c_ts") <= col("e_ts") + expr("INTERVAL 5 MINUTES"))
+    val out = freshDir("st_join/out")
+    val chk = freshDir("st_join/chk")
+    val q = joined.select("error_id", "user_id").writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .groupBy("error_id", "user_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy("error_id")
+  }
+
   /** The bounded-state PRODUCTION shape of st_hourly: Append mode to a
     * parquet FILE sink. A window row is written exactly once — when the
     * watermark (max event time − 30 min lateness) passes its end — and
@@ -298,6 +346,7 @@ object StreamingQueries extends QueryModule {
     "st_word_count" -> (stWordCount _),
     "st_hourly" -> (stHourly _),
     "st_sliding" -> (stSliding _),
+    "st_join" -> (stJoin _),
     "st_hourly_append" -> (stHourlyAppend _),
     "st_wc_update" -> (stWcUpdate _),
     "st_enrich" -> (stEnrich _),
@@ -320,6 +369,9 @@ object StreamingQueries extends QueryModule {
     // the batch sliding-window oracle verbatim: batch≡stream for the
     // overlapping-window shape
     "st_sliding" -> Relational.oracles("q35_sliding_window"),
+    // the batch range-join oracle verbatim: the stream-stream banded
+    // join must reproduce the batch pairs exactly
+    "st_join" -> Relational.oracles("q29_range_join"),
     // the reconciled delta log must equal the batch word count exactly
     "st_wc_update" -> WordCountQueries.oracles("wc_word_count"),
     // the batch join's oracle verbatim (q27's plain join): streaming
