@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ByteSplit, DotProduct, MinhashSig, NormalizeWord, RefHashWord, RollingHash, SimhashSig}
+import graft.functions.{ByteSplit, DotProduct, MinhashSig, NormalizeWord, RefHashWord, RepSig, RollingHash, SimhashSig}
 
 /** Session-extension entry point: build a session with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or pass
@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "dot_product", classOf[DotProduct])(e => DotProduct(e(0), e(1)))
     register(ext, "simhash_sig", classOf[SimhashSig])(e => SimhashSig(e.head))
     register(ext, "rolling_hash", classOf[RollingHash])(e => RollingHash(e.head))
+    register(ext, "rep_sig", classOf[RepSig])(e => RepSig(e.head))
     // minhash_sig(arr, numHashes): the hash count must be a foldable
     // integer literal — it sizes the signature at plan time
     register(ext, "minhash_sig", classOf[MinhashSig]) {

@@ -212,29 +212,24 @@ object TextAnalysis extends QueryModule {
     * pipeline applies FIRST, before any candidate-generating dedup
     * (cf. the Gopher/MassiveText repetition filters): the fraction of
     * duplicated tokens and of duplicated adjacent word-bigrams. Pure
-    * per-row array arithmetic — tokenize once into a staged array, form
-    * bigrams by zipping the array against its own tail, one distinct
-    * pass over each — so there is no explode, no join, no shuffle
-    * except the output sort: at 100 TB this runs at scan speed inside
-    * whole-stage codegen, which is exactly what a pre-filter must do.
+    * per-row work fused into the one-pass [[graft.functions.RepSig]]
+    * kernel — no explode, no join, no shuffle except the output sort:
+    * at 100 TB this runs at scan speed inside whole-stage codegen,
+    * which is exactly what a pre-filter must do.
     */
   def taRepetition(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), filter(toks, t => t =!= "").as("__w"))
-      .select(col("doc_id"), col("__w"),
-        // adjacent bigrams = zip(w[0..n-2], w[1..n-1]); guard n<2 because
-        // slice's length argument must be non-negative
-        when(size(col("__w")) >= 2,
-          zip_with(
-            slice(col("__w"), lit(1), size(col("__w")) - 1),
-            slice(col("__w"), lit(2), size(col("__w")) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-          .otherwise(array().cast("array<string>")).as("__bg"))
+      // one-pass fused kernel ([[graft.functions.RepSig]]): token scan +
+      // two open hash sets per row, no staged token/bigram arrays —
+      // bit-identical to the byte_split/zip_with/array_distinct
+      // composition it replaced (RepSigSpec keeps that form as the
+      // cross-check oracle)
+      .select(col("doc_id"), graft.functions.RepSig.of(col("text")).as("__r"))
       .select(col("doc_id"),
-        size(col("__w")).as("n_tokens"),
-        size(array_distinct(col("__w"))).as("n_distinct"),
-        size(col("__bg")).as("n_bigrams"),
-        size(array_distinct(col("__bg"))).as("n_distinct_bigrams"))
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_distinct").as("n_distinct"),
+        col("__r.n_bigrams").as("n_bigrams"),
+        col("__r.n_distinct_bigrams").as("n_distinct_bigrams"))
       .withColumn("dup_token_ratio",
         round(when(col("n_tokens") > 0,
           lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))

@@ -90,10 +90,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("ta_repetition: per-row arithmetic only — tokenizer once, no aggregate, sort-only exchange") {
+  test("ta_repetition: one fused rep_sig pass, no aggregate, sort-only exchange") {
     val p = plan("ta_repetition")
-    val cnt = "byte_split\\(".r.findAllIn(p).size
-    assert(cnt == 1, s"token array must be staged once, found $cnt byte_split:\n$p")
+    assert(p.contains("rep_sig"), s"fused expression missing:\n$p")
+    assert(!p.contains("byte_split"),
+      s"no staged tokenizer expected once the kernel is fused:\n$p")
     assert(!p.contains("HashAggregate") && !p.contains("Exchange hashpartitioning"),
       s"repetition signals must not shuffle or aggregate:\n$p")
   }

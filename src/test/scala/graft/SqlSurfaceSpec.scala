@@ -39,6 +39,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row.getString(1) === apiSig)
   }
 
+  test("rep_sig resolves in SQL and matches the Column API") {
+    import spark.implicits._
+    Seq("a b a b", "one", "").toDF("value")
+      .createOrReplaceTempView("sql_surface_rep")
+    val viaSql = spark.sql(
+      "SELECT rep_sig(value) AS r FROM sql_surface_rep ORDER BY value").collect()
+    val viaApi = spark.table("sql_surface_rep")
+      .select(graft.functions.RepSig.of(col("value")).as("r"))
+      .orderBy("value").collect()
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
   test("minhash_sig rejects a non-literal hash count") {
     import spark.implicits._
     Seq((Seq("a"), 8)).toDF("sh", "n").createOrReplaceTempView("sql_surface_bad")
