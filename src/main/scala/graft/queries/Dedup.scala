@@ -538,16 +538,26 @@ object Dedup extends QueryModule {
     * per-row arithmetic (`size(array_distinct(sh))`), not a second
     * aggregate over the postings.
     */
-  def ddContam(s: SparkSession, dir: String): DataFrame = {
-    val staged = shingled(s, dir)
+  def ddContam(s: SparkSession, dir: String): DataFrame =
+    contam(shingled(s, dir), broadcastTest = false)
+
+  /** Core of [[ddContam]], parameterized on the join strategy for the
+    * test-shingle side: `broadcastTest = true` is the 100 TB shape for
+    * a genuinely-small benchmark suite (the train side never shuffles —
+    * ScaleUtilsSpec asserts the BroadcastHashJoin and result
+    * invariance); `false` (the oracled default) shuffle-hashes both
+    * sides, safe at any test-set size.
+    */
+  private[graft] def contam(staged: DataFrame, broadcastTest: Boolean): DataFrame = {
     val isTest = pmod(col("doc_id"), lit(10)) === 0
     val testSh = staged.where(isTest)
       .select(explode(array_distinct(col("sh"))).as("shingle")).distinct()
+    val testSide = if (broadcastTest) broadcast(testSh) else testSh.hint("shuffle_hash")
     val train = staged.where(!isTest)
       .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
     val hits = train
       .select(col("doc_id"), explode(col("shd")).as("shingle"))
-      .join(testSh.hint("shuffle_hash"), Seq("shingle"))
+      .join(testSide, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_hit"))
     hits
       .join(train.select(col("doc_id"), size(col("shd")).as("n_sh")), "doc_id")

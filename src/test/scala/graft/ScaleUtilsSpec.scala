@@ -90,6 +90,27 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(top.head.getDouble(3) > 5.0) // ~9.9x the mean
   }
 
+  test("contamination broadcast path: BroadcastHashJoin on the test side, same result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // synthetic staged (doc_id, lang, sh): docs 0/10/20 are the held-out
+    // split; doc 11 shares a shingle with doc 10, doc 12 shares none
+    val staged = Seq(
+      (0L, Seq("a b c", "b c d")), (10L, Seq("x y z")), (20L, Seq("p q r")),
+      (11L, Seq("x y z", "m n o")), (12L, Seq("u v w"))
+    ).toDF("doc_id", "sh").withColumn("lang", lit("en"))
+      .select(col("doc_id"), col("lang"), col("sh"))
+    val bcast = graft.queries.Dedup.contam(staged, broadcastTest = true)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small test side must broadcast:\n$plan")
+    val a = bcast.collect().map(_.toString).toSeq
+    val b = graft.queries.Dedup.contam(staged, broadcastTest = false)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "join strategy must be result-invisible")
+    assert(a.size == 1 && a.head.contains("11"), s"only doc 11 is contaminated: $a")
+  }
+
   test("bucketed join runs with no Exchange on either side") {
     import spark.implicits._
     val facts = (1 to 1000).map(i => (i % 97, s"f$i")).toDF("k", "fv")
