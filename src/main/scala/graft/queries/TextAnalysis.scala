@@ -80,12 +80,13 @@ object TextAnalysis extends QueryModule {
     * the standard cheap pre-filter before expensive dedup/training.
     */
   def taQuality(s: SparkSession, dir: String): DataFrame =
-    // same staging as ta_lang_id: tokenize+filter once, consume twice
+    // (n_tokens, n_distinct) come from the same one-pass rep_sig kernel
+    // ta_repetition uses — no staged token array, no Catalyst distinct
     docs(s, dir)
-      .select(col("doc_id"), filter(toks, t => t =!= "").as("__nz"))
+      .select(col("doc_id"), graft.functions.RepSig.of(col("text")).as("__r"))
       .select(col("doc_id"),
-        size(col("__nz")).as("n_tokens"),
-        size(array_distinct(col("__nz"))).as("n_distinct"))
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_distinct").as("n_distinct"))
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast("double") / col("n_tokens"), 6))
       .withColumn("quality",

@@ -78,16 +78,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffle may feed the bucketed join:\n$p")
   }
 
-  test("ta_lang_id / ta_quality: tokenizer evaluated once per row") {
+  test("ta_lang_id: tokenizer evaluated once per row") {
     // the staged token array must survive optimization — exactly one
     // byte_split node in the physical plan, not one per consumer
     // (subexpression elimination would hide the duplicates, but it is
     // config-gated; the plan shape must not depend on it)
-    Seq("ta_lang_id", "ta_quality").foreach { q =>
-      val p = plan(q)
-      val cnt = "byte_split\\(".r.findAllIn(p).size
-      assert(cnt == 1, s"$q should evaluate byte_split exactly once, found $cnt:\n$p")
-    }
+    val p = plan("ta_lang_id")
+    val cnt = "byte_split\\(".r.findAllIn(p).size
+    assert(cnt == 1, s"ta_lang_id should evaluate byte_split exactly once, found $cnt:\n$p")
+  }
+
+  test("ta_quality: one fused rep_sig pass, no staged tokenizer") {
+    val p = plan("ta_quality")
+    assert(p.contains("rep_sig"), s"fused expression missing:\n$p")
+    assert(!p.contains("byte_split"), s"no staged tokenizer expected:\n$p")
   }
 
   test("ta_repetition: one fused rep_sig pass, no aggregate, sort-only exchange") {
