@@ -399,6 +399,33 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Hive-style PARTITIONED layout + partition pruning — with
+    * [[q30BucketedJoin]]'s bucketing, the other half of how a 100 TB
+    * table is physically organized: events are written
+    * `partitionBy(event_type)`, and a query filtering on the partition
+    * column must touch ONLY that directory — the filter becomes a
+    * PartitionFilter resolved against file listings, zero data bytes
+    * read from the other partitions (PlanShapeSpec asserts the pruned
+    * scan on this exact query). The oracle runs the same filter over
+    * the unpartitioned table: layout must be result-invisible.
+    * Partition columns must be low-cardinality (a high-cardinality
+    * partitionBy shatters the table into millions of small files —
+    * that is what bucketing is for).
+    */
+  def q36PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q36_part").toString
+    Tables(s, dir).events
+      .select(col("ts"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    s.read.parquet(base)
+      .where(col("event_type") === "click")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("eday"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("eday")
+  }
+
   /** SLIDING event-time windows (1 h length, 15 min slide) — the
     * overlapping-window shape [[q15EventsHourly]]'s tumbling windows
     * don't cover: every event lands in exactly 4 windows. Spark plans
@@ -652,6 +679,7 @@ object Relational extends QueryModule {
     "q33_percentiles" -> (q33Percentiles _),
     "q34_jsonl_roundtrip" -> (q34JsonlRoundtrip _),
     "q35_sliding_window" -> (q35SlidingWindow _),
+    "q36_partition_pruning" -> (q36PartitionPruning _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -715,6 +743,14 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the UNPARTITIONED table with the same filter: the partitioned
+    // layout must be result-invisible
+    "q36_partition_pruning" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS eday,
+        | count(*) AS n_clicks,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY eday ORDER BY eday""".stripMargin,
     // each event belongs to the 4 windows starting at its 15-min bucket
     // minus {0,15,30,45} min; time_bucket's 2000-01-01 origin sits on
     // the same 15-minute lattice as Spark's epoch-aligned grid

@@ -129,6 +129,14 @@ class PlanShapeSpec extends SparkSpec {
       s"per-row masking must not key-shuffle:\n$p")
   }
 
+  test("q36_partition_pruning: the filter is a PartitionFilter, not a data filter") {
+    val p = plan("q36_partition_pruning")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"event_type filter must prune partitions at listing time:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition column must not be filtered row-by-row:\n$p")
+  }
+
   test("q28_asof_join: one user-keyed exchange, no range-join pair explosion") {
     val p = plan("q28_asof_join")
     val keyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
