@@ -111,6 +111,37 @@ class ScaleUtilsSpec extends SparkSpec {
     assert(a.size == 1 && a.head.contains("11"), s"only doc 11 is contaminated: $a")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // the runtime complement to Skew.saltedInnerJoin: salting is the
+    // plan-time fix you reach for when you KNOW the hot keys; AQE's
+    // skew-join split is the runtime fix for the skew you didn't
+    // predict. This pins that the engine's session actually re-plans:
+    // one key carries ~1000x the rows, and the final adaptive plan must
+    // mark the join skew=true (the hot partition split across tasks),
+    // with results identical to the unsplit join.
+    import spark.implicits._
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = ((1 to 200000).map(_ => 1) ++ (2 to 200))
+        .map(k => (k, "x" * 32)).toDF("k", "lv")
+      val right = (1 to 200).map(k => (k, s"r$k")).toDF("k", "rv")
+      val joined = left.join(right, "k")
+      val rows = joined.collect()
+      assert(rows.length == 200000 + 199)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE must mark the skewed join:\n$p")
+    } finally prev.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucketed join runs with no Exchange on either side") {
     import spark.implicits._
     val facts = (1 to 1000).map(i => (i % 97, s"f$i")).toDF("k", "fv")
