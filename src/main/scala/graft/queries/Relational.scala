@@ -399,6 +399,36 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** NOT IN three-valued-logic pin, through the SQL TEXT entry point
+    * (`spark.sql` over temp views — the one API surface the DataFrame
+    * queries don't exercise). `NOT IN (subquery)` is NOT an anti-join:
+    * one NULL in the subquery makes the predicate UNKNOWN for every
+    * row, so the poisoned count is 0 while the clean count stays the
+    * genuine non-member count. Spark plans the clean branch as
+    * NullAwareAntiJoin; both engines must implement the same standard
+    * semantics or this hash-mismatches. (Use NOT EXISTS / left_anti in
+    * production — q05 — precisely because of this trap.)
+    */
+  def q37NotInNulls(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).customer.createOrReplaceTempView("g37_customer")
+    Tables(s, dir).orders.createOrReplaceTempView("g37_orders")
+    // the clean subquery is restricted to EVEN custkeys so its count is
+    // provably non-zero (odd-keyed customers pass) — otherwise a broken
+    // 3VL implementation returning the anti-join count would be
+    // indistinguishable from the correct 0 on a corpus where every
+    // customer has an order
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM g37_customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM g37_orders WHERE o_custkey % 2 = 0)) AS n_clean,
+        (SELECT count(*) FROM g37_customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM g37_orders WHERE o_custkey % 2 = 0
+             UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_poisoned
+    """)
+  }
+
   /** Hive-style PARTITIONED layout + partition pruning — with
     * [[q30BucketedJoin]]'s bucketing, the other half of how a 100 TB
     * table is physically organized: events are written
@@ -680,6 +710,7 @@ object Relational extends QueryModule {
     "q34_jsonl_roundtrip" -> (q34JsonlRoundtrip _),
     "q35_sliding_window" -> (q35SlidingWindow _),
     "q36_partition_pruning" -> (q36PartitionPruning _),
+    "q37_not_in_nulls" -> (q37NotInNulls _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -743,6 +774,17 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // standard three-valued logic: a NULL in the NOT IN subquery must
+    // zero the poisoned count in BOTH engines
+    "q37_not_in_nulls" ->
+      """SELECT
+        | (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0)) AS n_clean,
+        | (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0
+        |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_poisoned""".stripMargin,
     // the UNPARTITIONED table with the same filter: the partitioned
     // layout must be result-invisible
     "q36_partition_pruning" ->
