@@ -256,6 +256,25 @@ object Relational extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Native `session_window` — Spark's built-in merging session
+    * aggregate, vs [[q16Sessionize]]'s composed lag/sum form. One
+    * deliberate boundary difference, replayed by the oracle: the
+    * built-in MERGES while `next − prev < gap` (a gap of exactly
+    * 30 min breaks the session), whereas q16's composed form breaks
+    * only on `> gap` — the off-by-an-instant that makes pinning both
+    * forms worthwhile. Plans as one user-keyed exchange + sort +
+    * session-merge aggregate; emitted per session (start = first event
+    * time) rather than per user.
+    */
+  def q38SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+
   /** Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
     * per-partition heaps, no full sort, no single-node shuffle.
     */
@@ -711,6 +730,7 @@ object Relational extends QueryModule {
     "q35_sliding_window" -> (q35SlidingWindow _),
     "q36_partition_pruning" -> (q36PartitionPruning _),
     "q37_not_in_nulls" -> (q37NotInNulls _),
+    "q38_session_window" -> (q38SessionWindow _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -998,5 +1018,24 @@ object Relational extends QueryModule {
     "q17_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    // session_window semantics: merge while next - prev < gap, so the
+    // break condition is >= gap (q16's composed form breaks on > gap)
+    "q38_session_window" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |sg AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  count(*) AS n_events
+        |FROM sg GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
   )
 }
