@@ -192,6 +192,78 @@ object Relational extends QueryModule {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE over (returnflag, linestatus) — completes the grouping trio
+    * with [[q11Rollup]] and [[q31GroupingSets]]: all 2ⁿ subset
+    * aggregates from ONE scan + one Expand (×4 here) + one exchange.
+    * Same `grouping_id()` disambiguation as q31. At 100 TB cube only
+    * low-cardinality dims: the Expand multiplies the shuffle input by
+    * 2ⁿ, so a 3-dim cube triples-plus the exchange — acceptable for
+    * enum-like keys, ruinous for high-cardinality ones (use targeted
+    * grouping sets instead).
+    */
+  def q44Cube(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Navigation + distribution window functions — the surface
+    * [[q07WindowRank]] (ranking) and [[q08WindowRunning]] (running
+    * frames) leave uncovered: lag/lead (adjacent-row navigation),
+    * first_value/nth_value (frame navigation), percent_rank/cume_dist
+    * (relative distribution). One partition pass per window spec: the
+    * time-ordered spec `w` and the price-ordered spec `wp` each sort
+    * the customer's rows once; both share the single
+    * Exchange(o_custkey) since the partition key matches — at 100 TB
+    * the cost is one shuffle plus two in-partition sorts, and the
+    * per-customer row counts (not table size) bound the sort buffers.
+    * Unique tie-break (o_orderkey) in both ORDER BYs keeps every
+    * navigation value engine-deterministic.
+    */
+  def q39WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wp = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir).orders
+      .where(pmod(col("o_custkey"), lit(50)) === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        cents(lag("o_totalprice", 1).over(w)).as("prev_cents"),
+        cents(lead("o_totalprice", 1).over(w)).as("next_cents"),
+        date_format(first(col("o_orderdate")).over(w), "yyyy-MM-dd")
+          .as("first_date"),
+        cents(nth_value(col("o_totalprice"), 2).over(w)).as("second_cents"),
+        round(percent_rank().over(wp), 6).as("pct_rank"),
+        round(cume_dist().over(wp), 6).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — multiset semantics the DISTINCT set
+    * ops ([[q09Intersect]]/[[q10Except]]) can't express: multiplicity
+    * survives (a custkey with 3 urgent and 2 high orders intersects
+    * with count 2, excepts with count 1). Spark plans both as a
+    * count-and-replicate aggregate — one exchange on the compared
+    * columns, no join blow-up — then the per-key recount collapses the
+    * replicated rows again. Scale shape: two scans of the same table
+    * with disjoint pushed filters + two key-hashed exchanges.
+    */
+  def q40SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    def keys(p: String) =
+      o.where(col("o_orderpriority") === p).select("o_custkey")
+    val urgent = keys("1-URGENT")
+    val high = keys("2-HIGH")
+    val both = urgent.intersectAll(high).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val only = urgent.exceptAll(high).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    both.unionByName(only).orderBy("op", "o_custkey")
+  }
+
   /** Exact COUNT(DISTINCT) per group — plans as a two-phase distinct
     * aggregate (Expand + two exchanges). At 100 TB prefer
     * approx_count_distinct (HLL) — see TextAnalysis for the approx path.
@@ -731,6 +803,9 @@ object Relational extends QueryModule {
     "q36_partition_pruning" -> (q36PartitionPruning _),
     "q37_not_in_nulls" -> (q37NotInNulls _),
     "q38_session_window" -> (q38SessionWindow _),
+    "q39_window_funcs" -> (q39WindowFuncs _),
+    "q40_setops_all" -> (q40SetopsAll _),
+    "q44_cube" -> (q44Cube _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -984,6 +1059,40 @@ object Relational extends QueryModule {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // GROUPING() bit order: leftmost argument = MSB, same as Spark's
     // grouping_id()
+    "q44_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        | count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q39_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        | CAST(round(lag(o_totalprice, 1) OVER w * 100) AS BIGINT) AS prev_cents,
+        | CAST(round(lead(o_totalprice, 1) OVER w * 100) AS BIGINT) AS next_cents,
+        | strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+        | CAST(round(nth_value(o_totalprice, 2) OVER w * 100) AS BIGINT) AS second_cents,
+        | round(percent_rank() OVER wp, 6) AS pct_rank,
+        | round(cume_dist() OVER wp, 6) AS cume
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q40_setops_all" ->
+      """SELECT o_custkey, count(*) AS n, 'intersect_all' AS op
+        |FROM ((SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |      INTERSECT ALL
+        |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')) t
+        |GROUP BY o_custkey
+        |UNION ALL
+        |SELECT o_custkey, count(*) AS n, 'except_all' AS op
+        |FROM ((SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |      EXCEPT ALL
+        |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')) t2
+        |GROUP BY o_custkey
+        |ORDER BY op, o_custkey""".stripMargin,
     "q31_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
