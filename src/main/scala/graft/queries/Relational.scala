@@ -585,6 +585,89 @@ object Relational extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** ORC round-trip — the third columnar format of the ingest/egress
+    * surface (parquet everywhere, JSONL in [[q34JsonlRoundtrip]], CSV
+    * in [[q43CsvRoundtrip]]). Lineitem is written ORC and read back,
+    * then aggregated; the oracle runs the same aggregate over the
+    * ORIGINAL parquet, so any type or value drift in the format pair
+    * (timestamp micros, doubles, strings) fails the gate. ORC keeps
+    * the parquet scan virtues — splittable stripes, column pruning,
+    * predicate pushdown via stripe stats — so at 100 TB it
+    * parallelizes identically; the choice between them is ecosystem,
+    * not performance.
+    */
+  def q42OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q42_orc").toString
+    Tables(s, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
+        "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(base)
+    s.read.orc(base)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("last_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  /** CSV round-trip with EXPLICIT schema and microsecond timestamp
+    * format — the lossy-by-default interchange format done losslessly.
+    * The traps this query pins: (a) Spark's default CSV timestampFormat
+    * drops sub-millisecond digits, so `ts` must round-trip through an
+    * explicit `SSSSSS` pattern (events carry true microseconds);
+    * (b) `props` holds JSON with embedded quotes — writer quoting +
+    * escape must invert exactly (the summed char length would drift on
+    * any mangling); (c) schema-on-read, never inference (a second full
+    * pass at 100 TB). CSV splits by line like JSONL: fine for
+    * interchange, no column pruning — analytics stays columnar.
+    */
+  def q43CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_q43_csv").toString
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Tables(s, dir).events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", fmt).csv(base)
+    s.read
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("header", "true").option("timestampFormat", fmt).csv(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"),
+        date_format(max(col("ts")), fmt).as("last_ts"),
+        sum(length(col("props"))).as("props_bytes"))
+      .orderBy("event_type")
+  }
+
+  /** Higher-order array functions over the embedding column —
+    * filter/size, aggregate (left fold), and zip_with, all evaluated
+    * INSIDE the row with zero explode: the lambda runs in codegen over
+    * the array buffer, so a 100 TB embedding table pays one scan and
+    * no shuffle until the output sort. (The explode alternative
+    * multiplies the row count by the 64-dim width before
+    * re-aggregating — two orders of magnitude more exchange volume for
+    * the same answer.) Float elements are cast to double INSIDE the
+    * fold so both engines run the identical IEEE operation sequence;
+    * left-fold order is part of the contract (both fold left-to-right,
+    * making the rounded sums engine-exact).
+    */
+  def q41HigherOrder(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings.select(
+      col("vec_id"),
+      expr("size(filter(embedding, x -> x > cast(0 as float)))").as("n_pos"),
+      round(expr("cast(array_max(embedding) as double)"), 6).as("max_val"),
+      round(expr("aggregate(filter(embedding, x -> x > cast(0 as float)), " +
+        "0d, (acc, x) -> acc + cast(x as double))"), 4).as("pos_mass"),
+      round(expr("aggregate(zip_with(embedding, reverse(embedding), " +
+        "(a, b) -> cast(a as double) * cast(b as double)), " +
+        "0d, (acc, x) -> acc + x)"), 4).as("dot_rev"))
+      .orderBy("vec_id")
+
   /** Exact percentiles per group — median and p95 of lineitem quantity,
     * plus the extremes. Spark's `percentile` and DuckDB's
     * `quantile_cont` share the SQL-standard definition (linear
@@ -805,6 +888,9 @@ object Relational extends QueryModule {
     "q38_session_window" -> (q38SessionWindow _),
     "q39_window_funcs" -> (q39WindowFuncs _),
     "q40_setops_all" -> (q40SetopsAll _),
+    "q41_higher_order" -> (q41HigherOrder _),
+    "q42_orc_roundtrip" -> (q42OrcRoundtrip _),
+    "q43_csv_roundtrip" -> (q43CsvRoundtrip _),
     "q44_cube" -> (q44Cube _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
@@ -1059,6 +1145,29 @@ object Relational extends QueryModule {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // GROUPING() bit order: leftmost argument = MSB, same as Spark's
     // grouping_id()
+    // the oracle reads the ORIGINAL parquet — the ORC format pair must
+    // be value-invisible
+    "q42_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same: oracle from parquet, CSV pair must be lossless incl. micros
+    "q43_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        | CAST(sum(len(props)) AS BIGINT) AS props_bytes
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q41_higher_order" ->
+      """SELECT vec_id,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        | round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_val,
+        | round(list_sum(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)), 4) AS pos_mass,
+        | round(list_sum(list_transform(generate_series(1, len(embedding)),
+        |   i -> CAST(embedding[i] AS DOUBLE) * embedding[len(embedding) + 1 - i])), 4) AS dot_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q44_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
