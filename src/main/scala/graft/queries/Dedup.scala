@@ -109,6 +109,30 @@ object Dedup extends QueryModule {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("fingerprint")
 
+  /** INCREMENTAL exact dedup — the shape a production corpus actually
+    * runs daily: a new batch (here doc_id ≡ 0 mod 4) deduped against
+    * the accumulated historical fingerprint store (everything else)
+    * AND within itself, emitting only first-seen survivors. The
+    * historical side carries fingerprints only — 16 bytes/doc, never
+    * the text — so at 100 TB of corpus the store is ~tens of GB,
+    * bucketed on fingerprint; the anti-join then co-locates with zero
+    * shuffle of history, and the new batch (the small side) is the
+    * only moving data. Re-fingerprinting the full corpus per batch —
+    * [[ddExact]]'s shape — is the anti-pattern this query replaces.
+    */
+  def ddIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val history = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select(fp.as("fingerprint")).distinct()
+    val batch = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"), fp.as("fingerprint"))
+    batch.join(history, Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_in_batch"))
+      .orderBy("fingerprint")
+  }
+
   /** MinHash + LSH banded near-dup: shingle → 8 minhashes → 4 bands of
     * 2 → candidate pairs from band-equality self-join → verify exact
     * shingle-set Jaccard on candidates only.
@@ -571,6 +595,7 @@ object Dedup extends QueryModule {
     "dd_contam" -> (ddContam _),
     "dd_cluster" -> (ddCluster _),
     "dd_exact" -> (ddExact _),
+    "dd_incremental" -> (ddIncremental _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_simhash" -> (ddSimhash _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -714,6 +739,17 @@ object Dedup extends QueryModule {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "dd_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents)
+        |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_in_batch
+        |FROM fp
+        |WHERE doc_id % 4 = 0
+        |  AND fingerprint NOT IN
+        |    (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)
+        |GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
     "dd_minhash_lsh" -> minhashOracleSql,
     // transitive closure (recursive CTE) over the SAME pair derivation
     // the Spark side clusters; cluster id = min reachable doc id
