@@ -144,4 +144,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"as-of must not plan a pair-explosion join:\n$p")
   }
+
+  test("q39_window_funcs: both window specs share ONE customer-keyed exchange") {
+    val p = plan("q39_window_funcs")
+    // two Window operators (time-ordered and price-ordered specs) over
+    // the same partition key: the second needs only a re-sort, not a
+    // second shuffle
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, s"expected two window specs:\n$p")
+    val keyed = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(keyed == 1, s"expected ONE o_custkey exchange shared by both specs:\n$p")
+  }
+
+  test("q40_setops_all: multiset ops plan as aggregates, never as joins") {
+    val p = plan("q40_setops_all")
+    assert(!p.toLowerCase.contains("join"),
+      s"INTERSECT/EXCEPT ALL must plan count-and-replicate aggregates:\n$p")
+    assert(p.contains("Generate"), s"expected the replicate Generate:\n$p")
+  }
+
+  test("q41_higher_order: lambdas stay inside the row — no explode, no key shuffle") {
+    val p = plan("q41_higher_order")
+    assert(!p.contains("Generate"), s"array lambdas must not explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row array work must not key-shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"no per-element aggregate expected:\n$p")
+  }
+
+  test("q44_cube: one Expand feeding one partial+final aggregate pair") {
+    val p = plan("q44_cube")
+    assert("\\bExpand\\b".r.findAllIn(p).size == 1, s"expected ONE Expand:\n$p")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"cube must aggregate through ONE key exchange:\n$p")
+  }
+
+  test("dd_incremental: anti-join against history, batch filter pushed to scan") {
+    val p = plan("dd_incremental")
+    assert(p.contains("LeftAnti"), s"expected an anti-join on fingerprint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"anti-join must stay an equi-join:\n$p")
+  }
 }
