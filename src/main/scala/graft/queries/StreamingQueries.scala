@@ -341,7 +341,49 @@ object StreamingQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** NATIVE streaming session windows — the q38 twin on the streaming
+    * engine: `session_window(ts, gap)` inside a watermarked streaming
+    * aggregate, Append mode to a parquet file sink. The session-window
+    * state store MERGES overlapping candidate sessions as events
+    * arrive, and the watermark (delay 0 → terminal watermark = max
+    * event time) both closes sessions for emission and evicts their
+    * state — the bounded-state production shape for sessionization
+    * without custom state code ([[stSessionize]] pins the
+    * flatMapGroupsWithState alternative).
+    *
+    * The oracle replays q38's exact boundary semantics (break when
+    * next − prev ≥ gap) and then keeps only the sessions Append
+    * actually emits: those whose end (last event + gap, in ms) the
+    * terminal watermark passed — each user's still-open final session
+    * stays in state, exactly like st_sessionize's oracle.
+    */
+  def stSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // [e] glob: single-file table, same reason as stWordCount
+    val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+    val agg = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val out = freshDir("st_session_window/out")
+    val chk = freshDir("st_session_window/chk")
+    val q = agg.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_session_window" -> (stSessionWindow _),
     "st_dedup" -> (stDedup _),
     "st_word_count" -> (stWordCount _),
     "st_hourly" -> (stHourly _),
@@ -392,6 +434,30 @@ object StreamingQueries extends QueryModule {
         |FROM h, wm
         |WHERE epoch_us(hour_ts) // 1000 + 3600000 - 1 < wm_ms
         |ORDER BY hour, event_type""".stripMargin,
+    // q38's session derivation (break on next − prev ≥ gap, the native
+    // merge boundary), restricted to sessions whose end (last + gap,
+    // ms) the terminal watermark (max ts, ms) passed — what Append emits
+    "st_session_window" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), sg AS (
+        |  SELECT user_id, ts, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, min(ts) AS s_start, max(us) AS last_us, count(*) AS n_events
+        |  FROM sg GROUP BY user_id, sid
+        |), mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events)
+        |SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start, n_events
+        |FROM sess, mx
+        |WHERE (last_us + 1800000000) // 1000 < mxus // 1000
+        |ORDER BY user_id, s_start""".stripMargin,
     "st_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS us,
