@@ -241,7 +241,24 @@ object TextAnalysis extends QueryModule {
           .otherwise(0.0), 6))
       .orderBy("doc_id")
 
+  /** Positional token fan-out (posexplode) — the generator/UDTF shape:
+    * one output row per (doc, position, token), the layout a token-level
+    * labeling or n-gram indexing stage consumes. Sampled to 1% of docs
+    * because the full fan-out multiplies rows by token count — at
+    * 100 TB the explode runs AFTER pushed-down row filters, and the
+    * generated rows flow straight into the next aggregate without
+    * materializing (Generate is pipelined inside codegen, no shuffle
+    * until something keys on the output).
+    */
+  def taPosTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .where(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id"), filter(toks, t => t =!= "").as("__toks"))
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pos_tokens" -> (taPosTokens _),
     "ta_repetition" -> (taRepetition _),
     "ta_sample" -> (taSample _),
     "ta_top_terms_lang" -> (taTopTermsLang _),
@@ -258,6 +275,17 @@ object TextAnalysis extends QueryModule {
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // DuckDB lacks WITH ORDINALITY; parallel unnests zip positionally,
+    // so generate_series supplies the 0-based position
+    "ta_pos_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 100 = 0)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos,
+        |  unnest(toks) AS tok
+        |FROM w ORDER BY doc_id, pos""".stripMargin,
     // bigrams via 1-indexed range(1, len) — i runs 1..len-1, pairing
     // w[i] with w[i+1], exactly the Spark zip-against-tail
     "ta_repetition" ->
