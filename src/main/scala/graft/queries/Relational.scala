@@ -192,6 +192,60 @@ object Relational extends QueryModule {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** FULL OUTER join — the remaining outer-join shape ([[q06OuterAgg]]
+    * covers left outer): per-customer order counts from the early and
+    * late halves of the date range, full-outer joined so customers
+    * active in only one half surface with the other side null. Full
+    * outer cannot build a one-sided hash table the usual way, so Spark
+    * plans SortMergeJoin — both sides shuffle on the key once, which
+    * is the honest minimum; at 100 TB the two aggregates have already
+    * collapsed each side to one row per key, so the join input is
+    * key-cardinality, not fact-cardinality.
+    */
+  def q45FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    val split = lit("1998-04-01").cast("timestamp")
+    val early = o.where(col("o_orderdate") < split)
+      .groupBy(col("o_custkey").as("ck1")).agg(count(lit(1)).as("n_early"))
+    val late = o.where(col("o_orderdate") >= split)
+      .groupBy(col("o_custkey").as("ck2")).agg(count(lit(1)).as("n_late"))
+    early.join(late, col("ck1") === col("ck2"), "full_outer")
+      .select(coalesce(col("ck1"), col("ck2")).as("custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .orderBy("custkey")
+  }
+
+  /** Explicit CROSS JOIN — the deliberate cartesian, valid ONLY when
+    * one side is tiny and the product is the point (here region ×
+    * nation = 125 rows: a dimension grid). Spark requires the explicit
+    * `crossJoin` call precisely so the accidental version can't
+    * type-check its way into a plan; at 100 TB a cross join against
+    * anything fact-sized is the canonical scale-killer (every other
+    * query here plan-asserts its absence).
+    */
+  def q46CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.region.select("r_name").crossJoin(t.nation.select("n_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** LIMIT with OFFSET over a total order — deterministic pagination.
+    * Spark plans GlobalLimit(offset+limit) over per-partition
+    * TakeOrdered partials: each partition contributes at most
+    * offset+limit rows, so the driver-side cost is bounded by the page
+    * horizon, never table size. Deep pagination (huge offsets) is
+    * still anti-scale — the skipped prefix is computed and discarded;
+    * keyset pagination (WHERE key > last_seen ORDER BY key LIMIT n)
+    * is the 100 TB shape.
+    */
+  def q47LimitOffset(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .offset(40).limit(20)
+
   /** CUBE over (returnflag, linestatus) — completes the grouping trio
     * with [[q11Rollup]] and [[q31GroupingSets]]: all 2ⁿ subset
     * aggregates from ONE scan + one Expand (×4 here) + one exchange.
@@ -892,6 +946,9 @@ object Relational extends QueryModule {
     "q42_orc_roundtrip" -> (q42OrcRoundtrip _),
     "q43_csv_roundtrip" -> (q43CsvRoundtrip _),
     "q44_cube" -> (q44Cube _),
+    "q45_full_outer" -> (q45FullOuter _),
+    "q46_cross_join" -> (q46CrossJoin _),
+    "q47_limit_offset" -> (q47LimitOffset _),
     "q12_count_distinct" -> (q12CountDistinct _),
     "q13_case_agg" -> (q13CaseAgg _),
     "q14_scalar_subquery" -> (q14ScalarSubquery _),
@@ -1145,6 +1202,27 @@ object Relational extends QueryModule {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // GROUPING() bit order: leftmost argument = MSB, same as Spark's
     // grouping_id()
+    "q45_full_outer" ->
+      """WITH early AS (
+        |  SELECT o_custkey AS ck1, count(*) AS n_early FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-04-01' GROUP BY 1),
+        |late AS (
+        |  SELECT o_custkey AS ck2, count(*) AS n_late FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-04-01' GROUP BY 1)
+        |SELECT coalesce(ck1, ck2) AS custkey,
+        |  coalesce(n_early, 0) AS n_early,
+        |  coalesce(n_late, 0) AS n_late
+        |FROM early FULL OUTER JOIN late ON ck1 = ck2
+        |ORDER BY custkey""".stripMargin,
+    "q46_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q47_limit_offset" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY price_cents DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
     // the oracle reads the ORIGINAL parquet — the ORC format pair must
     // be value-invisible
     "q42_orc_roundtrip" ->

@@ -177,6 +177,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyed == 1, s"cube must aggregate through ONE key exchange:\n$p")
   }
 
+  test("q45_full_outer: SortMergeJoin FullOuter over pre-aggregated sides") {
+    val p = plan("q45_full_outer")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"full outer must sort-merge both key-collapsed sides:\n$p")
+  }
+
+  test("q46_cross_join: the ONE deliberate cartesian in the surface") {
+    val p = plan("q46_cross_join")
+    assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"explicit crossJoin should plan the cartesian it asks for:\n$p")
+  }
+
+  test("q47_limit_offset: TakeOrderedAndProject — page bounded per partition, no global sort") {
+    val p = plan("q47_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-(offset+limit) partials:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort for a bounded page:\n$p")
+  }
+
   test("dd_incremental: anti-join against history, batch filter pushed to scan") {
     val p = plan("dd_incremental")
     assert(p.contains("LeftAnti"), s"expected an anti-join on fingerprint:\n$p")
