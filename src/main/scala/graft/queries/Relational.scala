@@ -246,6 +246,51 @@ object Relational extends QueryModule {
       .orderBy(col("price_cents").desc, col("o_orderkey"))
       .offset(40).limit(20)
 
+  /** Gap-filled daily series — the time-series scaffold shape: a
+    * generated calendar (sequence + explode between the observed
+    * bounds) LEFT-joined to the daily aggregate so zero-order days
+    * appear explicitly. The scaffold is ~rows-per-day regardless of
+    * fact size — generated, never scanned — and the aggregate has
+    * already collapsed the fact table to one row per day, so the join
+    * is calendar-sized on both sides. At 100 TB the only real cost is
+    * the daily aggregate's single exchange; gap-filling is free.
+    */
+  def q48GapFill(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    val daily = o.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val days = o.agg(
+        min(date_trunc("day", col("o_orderdate"))).as("d0"),
+        max(date_trunc("day", col("o_orderdate"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    days.join(daily, Seq("day"), "left_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
+  /** Value-RANGE window frame — the frame mode [[q08WindowRunning]]'s
+    * running (UNBOUNDED..CURRENT) and q39's ROW-offset frames don't
+    * cover: each row's frame is every peer whose price lies within
+    * $1,000 BELOW its own (RANGE 100000 PRECEDING in cents). The
+    * frame bound is data-dependent, so the window sorts on the frame
+    * value itself; ties are whole-peer-group inclusive, making the
+    * count deterministic without a tiebreak. Same single
+    * partition-key exchange as every window — the frame mode changes
+    * the in-partition scan, not the shuffle.
+    */
+  def q49RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("price_cents")).rangeBetween(-100000, 0)
+    Tables(s, dir).lineitem
+      .where(pmod(col("l_partkey"), lit(200)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .withColumn("n_within_1k", count(lit(1)).over(w))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** CUBE over (returnflag, linestatus) — completes the grouping trio
     * with [[q11Rollup]] and [[q31GroupingSets]]: all 2ⁿ subset
     * aggregates from ONE scan + one Expand (×4 here) + one exchange.
@@ -947,6 +992,8 @@ object Relational extends QueryModule {
     "q43_csv_roundtrip" -> (q43CsvRoundtrip _),
     "q44_cube" -> (q44Cube _),
     "q45_full_outer" -> (q45FullOuter _),
+    "q48_gap_fill" -> (q48GapFill _),
+    "q49_range_frame" -> (q49RangeFrame _),
     "q46_cross_join" -> (q46CrossJoin _),
     "q47_limit_offset" -> (q47LimitOffset _),
     "q12_count_distinct" -> (q12CountDistinct _),
@@ -1217,6 +1264,29 @@ object Relational extends QueryModule {
     "q46_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q48_gap_fill" ->
+      """WITH bounds AS (
+        |  SELECT min(date_trunc('day', o_orderdate)) AS d0,
+        |         max(date_trunc('day', o_orderdate)) AS d1
+        |  FROM orders),
+        |cal AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM bounds),
+        |daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+        |  coalesce(daily.n, 0) AS n_orders
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day
+        |ORDER BY day""".stripMargin,
+    "q49_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        | count(*) OVER (PARTITION BY l_returnflag
+        |   ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS n_within_1k
+        |FROM lineitem WHERE l_partkey % 200 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q47_limit_offset" ->
       """SELECT o_orderkey, o_custkey,
         | CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
