@@ -257,7 +257,33 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
       .orderBy("doc_id", "pos")
 
+  /** Deterministic SEQUENCE PACKING — the pretraining step that
+    * assigns documents to fixed-budget training sequences: docs are
+    * sharded (doc_id mod 8), ordered within the shard, and each doc
+    * joins the pack containing its starting token offset
+    * (floor(tokens-before-this-doc / 2048)) — a running-cumsum
+    * formulation of greedy packing that is exactly SQL-replayable,
+    * unlike first-fit bin packing (inherently sequential state). One
+    * exchange on the shard key, one in-partition sort; shard count
+    * scales with cluster width at 100 TB, and the pack summary
+    * (docs + tokens per pack) is what a loader manifest consumes.
+    */
+  def taSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+        size(filter(toks, t => t =!= "")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(2048)).cast("long"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("shard", "pack_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
     "ta_repetition" -> (taRepetition _),
     "ta_sample" -> (taSample _),
@@ -275,6 +301,20 @@ object TextAnalysis extends QueryModule {
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin,
     // DuckDB lacks WITH ORDINALITY; parallel unnests zip positionally,
     // so generate_series supplies the 0-based position
     "ta_pos_tokens" ->
