@@ -246,6 +246,26 @@ object Relational extends QueryModule {
       .orderBy(col("price_cents").desc, col("o_orderkey"))
       .offset(40).limit(20)
 
+  /** MAP-typed column surface — semi-structured props parsed ONCE into
+    * a `map<string,bigint>` and then queried with map operators
+    * (map_keys, element_at, map_contains_key) instead of re-running
+    * string extraction per field. At 100 TB the parse-once pattern is
+    * the difference between one JSON scan and one per field; the map
+    * lives only inside the row (pure projection, no shuffle before the
+    * output sort). Output flattens to scalars because map columns
+    * don't hash-compare across engines.
+    */
+  def q50MapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_id"),
+        from_json(col("props"), lit("map<string,bigint>")).as("m"))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).as("n_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        map_contains_key(col("m"), "missing").as("has_missing"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"))
+      .orderBy("event_id")
+
   /** Gap-filled daily series — the time-series scaffold shape: a
     * generated calendar (sequence + explode between the observed
     * bounds) LEFT-joined to the daily aggregate so zero-order days
@@ -994,6 +1014,7 @@ object Relational extends QueryModule {
     "q45_full_outer" -> (q45FullOuter _),
     "q48_gap_fill" -> (q48GapFill _),
     "q49_range_frame" -> (q49RangeFrame _),
+    "q50_map_funcs" -> (q50MapFuncs _),
     "q46_cross_join" -> (q46CrossJoin _),
     "q47_limit_offset" -> (q47LimitOffset _),
     "q12_count_distinct" -> (q12CountDistinct _),
@@ -1279,6 +1300,13 @@ object Relational extends QueryModule {
         |  coalesce(daily.n, 0) AS n_orders
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY day""".stripMargin,
+    "q50_map_funcs" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(json_extract(props, '$.missing') IS NOT NULL AS BOOLEAN) AS has_missing,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
     "q49_range_frame" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         | CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,

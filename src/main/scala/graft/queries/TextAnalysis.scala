@@ -282,7 +282,33 @@ object TextAnalysis extends QueryModule {
       .orderBy("shard", "pack_id")
   }
 
+  /** Top bigrams per language — collocation counting, the n-gram
+    * corpus statistic ([[taTopTermsLang]] covers unigrams). Tokens are
+    * staged once (the README lambda rule: slice/size reference the
+    * staged column, not a re-evaluated expression), bigrams formed by
+    * zip-against-tail inside the row, then one (lang, bigram)-keyed
+    * aggregate — partial aggregation absorbs the per-doc fan-out
+    * before the exchange, so shuffle volume is distinct-bigram-sized.
+    * Top-5 per language via row_number with a total tiebreak.
+    */
+  def taNgramTop(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("bigram"))
+    docs(s, dir)
+      .select(col("lang"), filter(toks, t => t =!= "").as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("bigram"), col("n"))
+      .orderBy("lang", "rk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
     "ta_repetition" -> (taRepetition _),
@@ -301,6 +327,22 @@ object TextAnalysis extends QueryModule {
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // bigrams via 1-indexed range(1, len) — i = 1..len-1 pairs w[i]
+    // with w[i+1]; len<2 yields an empty range, no CASE needed
+    "ta_ngram_top" ->
+      """WITH w AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, n,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT lang, rk, bigram, n FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     "ta_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
