@@ -639,6 +639,31 @@ object Relational extends QueryModule {
     """)
   }
 
+  /** LATERAL join — the correlated-subquery-in-FROM operator: for each
+    * sampled customer, the subquery computes THEIR top-2 orders by
+    * price (per-row ORDER BY + LIMIT, which a plain join cannot
+    * express and [[q07WindowRank]] expresses only globally). Catalyst
+    * decorrelates the lateral into a ranked window under the hood —
+    * one customer-keyed exchange, no per-row re-execution — so the
+    * 100 TB cost equals the window form while the query text stays
+    * per-row declarative. Through the SQL text entry point like q37:
+    * LATERAL has no DataFrame-API equivalent.
+    */
+  def q51Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).customer.createOrReplaceTempView("g51_customer")
+    Tables(s, dir).orders.createOrReplaceTempView("g51_orders")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.price_cents
+      FROM g51_customer c, LATERAL (
+        SELECT o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM g51_orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey % 100 = 0
+      ORDER BY c.c_custkey, price_cents DESC, o_orderkey
+    """)
+  }
+
   /** Hive-style PARTITIONED layout + partition pruning — with
     * [[q30BucketedJoin]]'s bucketing, the other half of how a 100 TB
     * table is physically organized: events are written
@@ -1015,6 +1040,7 @@ object Relational extends QueryModule {
     "q48_gap_fill" -> (q48GapFill _),
     "q49_range_frame" -> (q49RangeFrame _),
     "q50_map_funcs" -> (q50MapFuncs _),
+    "q51_lateral" -> (q51Lateral _),
     "q46_cross_join" -> (q46CrossJoin _),
     "q47_limit_offset" -> (q47LimitOffset _),
     "q12_count_distinct" -> (q12CountDistinct _),
@@ -1300,6 +1326,15 @@ object Relational extends QueryModule {
         |  coalesce(daily.n, 0) AS n_orders
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY day""".stripMargin,
+    "q51_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price_cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey % 100 = 0
+        |ORDER BY c.c_custkey, price_cents DESC, o_orderkey""".stripMargin,
     "q50_map_funcs" ->
       """SELECT event_id,
         | CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
