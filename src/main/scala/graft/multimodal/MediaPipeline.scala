@@ -21,6 +21,15 @@ case class MediaFeatures(
     frames: Int,
     checksum: Long)
 
+/** Features produced by the REAL audio decode ([[MediaPipeline.decodeAudio]]). */
+case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    peak: Int,
+    n_bytes: Int)
+
 /** Multimodal-column plumbing: image/audio/video ride through the engine
   * as opaque `binary` columns; decode/feature-extraction runs
   * partition-local via mapPartitions so a real codec can amortize
@@ -30,8 +39,10 @@ case class MediaFeatures(
   * The decoder tries a REAL image decode first (`javax.imageio` — JDK
   * built-in readers: PNG, BMP, GIF, JPEG, WBMP, TIFF) and reads the true
   * width/height/frame-count from the header without materializing pixel
-  * rasters; payloads no reader recognizes (audio/video — no codecs in
-  * this environment) fall back to a clearly-marked deterministic STUB.
+  * rasters; uncompressed PCM audio decodes for REAL too
+  * (`javax.sound.sampled`, [[decodeAudio]] — WAV needs no codec);
+  * payloads no JDK reader recognizes (compressed audio/video — no codecs
+  * in this environment) fall back to a clearly-marked deterministic STUB.
   * Everything around the decode — schema, typed Dataset plumbing,
   * partition-local batching, downstream relational use of the features —
   * is identical on both paths. At 100 TB: payloads stay columnar parquet
@@ -181,6 +192,111 @@ object MediaPipeline {
       ios.close()
     }
     bos.toByteArray
+  }
+
+  /** Minimal canonical PCM WAV (44-byte RIFF/fmt/data header + 16-bit
+    * little-endian samples) — the audio analog of [[encodeBmp]]. Sample
+    * data is a full-scale square wave alternating +amplitude/−amplitude
+    * per frame (all channels identical), so the decoded PEAK amplitude is
+    * a pure function of the encode parameters: an oracle asserting it
+    * proves the decoder read the PCM payload, not just the header.
+    * File size is 44 + nFrames·channels·2 — arithmetic DuckDB replays.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int, amplitude: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames > 0,
+      s"bad wav spec rate=$sampleRate ch=$channels frames=$nFrames")
+    require(amplitude >= 0 && amplitude <= Short.MaxValue, s"bad amplitude $amplitude")
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort).putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      val v = (if (i % 2 == 0) amplitude else -amplitude).toShort
+      var c = 0
+      while (c < channels) { b.putShort(v); c += 1 }
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Strict WAV sniff (same rationale as [[looksLikeImage]]): RIFF tag +
+    * WAVE form type — 8 magic bytes a text payload will not carry.
+    */
+  def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 44 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (no external
+    * codecs needed for uncompressed PCM): parses the WAV header through
+    * `AudioSystem.getAudioInputStream`, reads the full PCM stream, and
+    * returns (sampleRate, channels, frameCount, peakAmplitude). The peak
+    * is computed over the DECODED 16-bit samples, so a decoder that
+    * skipped the data chunk, misread endianness, or miscounted channels
+    * produces a different value. None when the payload carries no WAV
+    * magic or the JDK cannot parse it (callers fall back to the stub) —
+    * this replaces the stub path for uncompressed audio; compressed
+    * codecs (MP3/AAC) remain stubbed, absent from the JDK.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    if (!looksLikeWav(payload)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val frames = ais.getFrameLength
+        val buf = new Array[Byte](8192)
+        var peak = 0
+        var carry = -1 // low byte of a sample split across read() calls
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          if (carry >= 0 && n >= 1) {
+            val s = ((buf(0) << 8) | carry).toShort
+            val a = math.abs(s.toInt); if (a > peak) peak = a
+            carry = -1; i = 1
+          }
+          while (i + 1 < n) {
+            // PCM_SIGNED 16-bit little-endian: low byte first
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+            val a = math.abs(s.toInt); if (a > peak) peak = a
+            i += 2
+          }
+          if (i < n) carry = buf(i) & 0xff
+          n = ais.read(buf)
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, frames, peak))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode + feature-extract for audio assets, partition-local — the
+    * audio counterpart of [[extractFeatures]]: same typed mapPartitions
+    * shape, real `javax.sound.sampled` decode. Rows that are not
+    * decodable WAV are dropped (a production pipeline would route them
+    * to a quarantine sink at the same schema).
+    */
+  def extractAudioFeatures(
+      spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.payload).map { case (rate, ch, frames, peak) =>
+          AudioFeatures(r.media_id, rate, ch, frames, peak, r.payload.length)
+        }
+      }
+    }
   }
 
   /** STUB decoder — deterministic function of the payload bytes standing

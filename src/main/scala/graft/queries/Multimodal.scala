@@ -141,6 +141,39 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode under the oracle: synthesize a canonical PCM WAV
+    * per document row — sample rate, channels, frame count, and square-
+    * wave amplitude all pure doc_id arithmetic — and push it through
+    * [[graft.multimodal.MediaPipeline.extractAudioFeatures]], the typed
+    * mapPartitions pipeline with the REAL `javax.sound.sampled` decode
+    * (JDK-built-in; uncompressed PCM needs no codec). The oracle replays
+    * the spec arithmetic against what the decoder READS: header fields
+    * (rate/channels/frames via `AudioSystem`), the peak amplitude over
+    * the decoded 16-bit samples (proves the data chunk was actually
+    * read, not just the header), the floor-division duration, and the
+    * 44 + frames·channels·2 file size. Per-row expressions over the
+    * scan — linear, shuffle-free until the sort.
+    */
+  def mmAudioReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{MediaPipeline, MediaRow}
+    val rates = Array(8000, 11025, 16000, 22050, 44100)
+    val media = graft.core.FanOut(Tables(s, dir).documents.select(col("doc_id"))).as[Long]
+      .map { id =>
+        val rate = rates((id % 5).toInt)
+        val ch = (id % 2 + 1).toInt
+        val frames = (id % 400 + 50).toInt
+        val amp = (id % 30000 + 1).toInt
+        MediaRow(id, "wav", MediaPipeline.encodeWav(rate, ch, frames, amp))
+      }
+    MediaPipeline.extractAudioFeatures(s, media)
+      .select(col("media_id").as("doc_id"),
+        col("sample_rate"), col("channels"), col("n_frames"), col("peak"),
+        expr("n_frames * 1000L div sample_rate").as("duration_ms"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
@@ -148,6 +181,7 @@ object Multimodal extends QueryModule {
     "mm_gif_frames" -> (mmGifFrames _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize_real" -> (mmResizeReal _),
+    "mm_audio_real" -> (mmAudioReal _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,5 +240,29 @@ object Multimodal extends QueryModule {
         | CAST(doc_id * 7 % 64 + 1 AS INTEGER) AS height,
         | CAST(1 AS INTEGER) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays the WAV spec arithmetic (rate/channels/frames/amplitude
+    // from doc_id) against what the REAL javax.sound.sampled decoder
+    // READS: header fields, frame count, the peak over decoded 16-bit
+    // samples (square wave → peak == amplitude, proving the data chunk
+    // was read), floor-division duration, and the canonical 44-byte-
+    // header file size.
+    "mm_audio_real" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+        |      WHEN 3 THEN 22050 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS ch,
+        |    doc_id % 400 + 50 AS frames,
+        |    doc_id % 30000 + 1 AS amp
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        | CAST(rate AS INTEGER) AS sample_rate,
+        | CAST(ch AS INTEGER) AS channels,
+        | CAST(frames AS BIGINT) AS n_frames,
+        | CAST(amp AS INTEGER) AS peak,
+        | CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        | CAST(44 + frames * ch * 2 AS INTEGER) AS n_bytes
+        |FROM spec ORDER BY doc_id""".stripMargin,
   )
 }

@@ -137,6 +137,52 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.resizeImage("not an image".getBytes, 4, 4).isEmpty)
   }
 
+  test("encodeWav round-trips through the REAL javax.sound.sampled decode") {
+    // rates spanning the spec table; mono + stereo; 1 frame is minimal;
+    // amplitude 0 (silence) and Short.MaxValue are the peak extremes
+    val cases = Seq(
+      (8000, 1, 1, 0), (11025, 2, 3, 1), (16000, 1, 441, 12345),
+      (22050, 2, 50, 30000), (44100, 1, 449, 32767))
+    cases.foreach { case (rate, ch, frames, amp) =>
+      val wav = MediaPipeline.encodeWav(rate, ch, frames, amp)
+      assert(wav.length === 44 + frames * ch * 2, s"$rate/$ch/$frames file size")
+      assert(MediaPipeline.looksLikeWav(wav))
+      val decoded = MediaPipeline.decodeAudio(wav)
+      assert(decoded.isDefined, s"$rate/$ch/$frames not recognized")
+      val (dRate, dCh, dFrames, dPeak) = decoded.get
+      assert(dRate === rate && dCh === ch && dFrames === frames.toLong,
+        s"decoded $dRate/$dCh/$dFrames for $rate/$ch/$frames")
+      assert(dPeak === amp, s"peak $dPeak != amplitude $amp — data chunk misread")
+    }
+  }
+
+  test("decodeAudio rejects non-WAV payloads, including RIFF-prefixed prose") {
+    assert(MediaPipeline.decodeAudio("plain text".getBytes("UTF-8")).isEmpty)
+    // 'RIFF' alone without the WAVE form type must not pass the sniff
+    val riffText = ("RIFF raffle results for the annual office RIFF-off" + " x" * 20)
+      .getBytes("ISO-8859-1")
+    assert(!MediaPipeline.looksLikeWav(riffText))
+    assert(MediaPipeline.decodeAudio(riffText).isEmpty)
+    // a real image is not audio either
+    assert(MediaPipeline.decodeAudio(MediaPipeline.encodeBmp(9, 4)).isEmpty)
+  }
+
+  test("extractAudioFeatures decodes WAV rows and drops non-audio rows") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "wav", MediaPipeline.encodeWav(16000, 2, 100, 7000)),
+      MediaRow(2L, "txt", "not audio at all, just forty-odd bytes of prose".getBytes("UTF-8")),
+      MediaRow(3L, "wav", MediaPipeline.encodeWav(44100, 1, 250, 1)))
+    val feats = MediaPipeline.extractAudioFeatures(spark, spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet === Set(1L, 3L)) // the text row is dropped
+    assert(feats(1L).sample_rate === 16000 && feats(1L).channels === 2 &&
+      feats(1L).n_frames === 100L && feats(1L).peak === 7000)
+    assert(feats(3L).sample_rate === 44100 && feats(3L).channels === 1 &&
+      feats(3L).n_frames === 250L && feats(3L).peak === 1)
+    assert(feats(1L).n_bytes === 44 + 100 * 2 * 2)
+  }
+
   test("decodeStub is deterministic and in documented ranges") {
     val p = "hello media".getBytes("UTF-8")
     val a = MediaPipeline.decodeStub(p)
