@@ -138,9 +138,70 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Oracled gate config for [[simKmeansIvf]]. k=16 cells on the test
+    * corpus (the √n rule of [[ivfBitsForN]] applied to a learned
+    * quantizer would pick cells ≈ √n at scale); 3 Lloyd iterations is
+    * where KmeansIvfSpec's recall curve flattens; 3 probes matches the
+    * probe budget the spec measures against the sign quantizer.
+    */
+  private[graft] val KmeansK = 16
+  private[graft] val KmeansIters = 3
+  private[graft] val KmeansProbes = 3
+
+  /** Where [[simKmeansIvf]] persists the trained centroids. This path is
+    * deliberately FIXED (not per-run unique like the roundtrip scratch
+    * dirs): the DuckDB oracle SQL must name the same files the Spark
+    * side wrote, and the SQL string is interpolated from this constant
+    * at the same JVM, so both sides always agree.
+    */
+  private[graft] val KmeansCentroidDir = java.nio.file.Paths.get(
+    sys.props("java.io.tmpdir"), "graft_kmeans_centroids").toString
+
+  /** k-means IVF under the driver oracle. Training (distributed
+    * deterministic Lloyd, [[KmeansIvf.train]]) is not static-SQL-
+    * replayable — but the ASSIGNMENT and SEARCH are: the trained
+    * centroids are persisted to parquet and read back, and the oracle
+    * replays argmin-distance cell assignment (the identical
+    * ‖v‖²−2v·c+‖c‖² double arithmetic, ties to the lowest cid),
+    * 3-cell multi-probe for the query set, and exact-cosine top-3 over
+    * the candidates — against the very table the engine trained. A
+    * drifted centroid, a wrong argmin, or a probe-order bug all
+    * hash-mismatch. At 100 TB the persisted-centroid table is the
+    * deployment shape anyway: train once on a sample, broadcast-join
+    * the k-row table against the full corpus for assignment.
+    */
+  def simKmeansIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val vectors = e.select(col("vec_id"), col("embedding"))
+    KmeansIvf.train(vectors, KmeansK, KmeansIters)
+      .write.mode("overwrite").parquet(KmeansCentroidDir)
+    // read BACK so assignment provably uses the persisted table the
+    // oracle will read — not a diverging in-memory lineage
+    val trained = s.read.parquet(KmeansCentroidDir)
+    val q = KmeansIvf.probeCells(
+        vectors.where(col("vec_id") < 20), trained, KmeansProbes)
+      .join(e.select(col("vec_id"),
+        col("embedding").as("eq"), col("norm").as("nq")), Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("query_id"), col("eq"), col("nq"))
+    val c = KmeansIvf.assignCells(vectors, trained)
+      .join(e.select(col("vec_id"), col("norm")), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding").as("ec"), col("norm").as("nc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_exact").desc, col("vec_id"))
+    q.join(c, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_exact", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
+        round(col("cos_exact"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ivf_bucket" -> (simIvfBucket _),
+    "sim_kmeans_ivf" -> (simKmeansIvf _),
   )
 
   private val dotSql =
@@ -183,6 +244,41 @@ object Similarity extends QueryModule {
          |    vec_id AS query_id, embedding AS eq
          |  FROM e WHERE vec_id < 20),
          |c AS (SELECT cell, vec_id, embedding AS ec FROM e),
+         |scored AS (
+         |  SELECT query_id, c.cell AS cell, vec_id,
+         |    $cosineSql AS cos_exact
+         |  FROM q JOIN c ON q.cell = c.cell WHERE query_id <> vec_id),
+         |ranked AS (
+         |  SELECT query_id, cell, vec_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, cell, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Replays assignment + search over the centroids the engine TRAINED
+    // and persisted: same squared-distance double arithmetic
+    // (nv2 - 2·dot + nc2, left folds), same lowest-cid tie-break, same
+    // probe budget, same exact-cosine rerank. Training itself is the
+    // declared non-SQL step; everything downstream of the persisted
+    // table is gated here.
+    "sim_kmeans_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT cid, centroid
+         |  FROM read_parquet('$KmeansCentroidDir/*.parquet')),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, cent.cid,
+         |    ${dotSql("embedding", "embedding")}
+         |      - 2.0 * ${dotSql("embedding", "centroid")}
+         |      + ${dotSql("centroid", "centroid")} AS d2
+         |  FROM embeddings e CROSS JOIN cent),
+         |rk AS (
+         |  SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+         |  FROM d),
+         |q AS (
+         |  SELECT cid AS cell, vec_id AS query_id, embedding AS eq
+         |  FROM rk WHERE crank <= $KmeansProbes AND vec_id < 20),
+         |c AS (SELECT cid AS cell, vec_id, embedding AS ec FROM rk WHERE crank = 1),
          |scored AS (
          |  SELECT query_id, c.cell AS cell, vec_id,
          |    $cosineSql AS cos_exact
