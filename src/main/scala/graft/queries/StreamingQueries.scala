@@ -44,6 +44,42 @@ object StreamingQueries extends QueryModule {
     base.toString
   }
 
+  /** Watermark-eviction harness constants ([[stDedup]], [[stJoin]]):
+    * 1 h watermark delay, a 10 min guard band around every eviction
+    * boundary (Spark tracks watermarks in MILLISECONDS and the eviction
+    * comparison's strictness is an implementation detail — no re-sent
+    * row is ever within the band, so either convention yields the same
+    * result), and the ±5 min join band of q29.
+    */
+  private val DelayUs = 3600L * 1000000L
+  private val MarginUs = 600L * 1000000L
+  private val BandUs = 300L * 1000000L
+
+  /** Stage each phase DataFrame as exactly ONE parquet file under a
+    * fresh source directory, with strictly increasing modification
+    * times. A `maxFilesPerTrigger=1` file stream then replays the
+    * phases as separate, ORDERED micro-batches (FileStreamSource
+    * processes pending files in modification-time order), which is what
+    * lets [[stDedup]]/[[stJoin]] pin watermark eviction deterministically:
+    * phase N+1's arrivals are processed strictly after phase N's
+    * watermark took effect — no file-ordering race.
+    */
+  private def stagePhases(s: SparkSession, name: String, phases: Seq[DataFrame]): String = {
+    val srcDir = freshDir(s"$name/src")
+    phases.zipWithIndex.foreach { case (df, i) =>
+      val scratch = freshDir(s"$name/stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dst = java.nio.file.Paths.get(srcDir, f"phase-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    srcDir
+  }
+
   /** Start `agg` in Complete mode into a memory sink, drain all available
     * input, stop, and return the sink table. Complete mode keeps the full
     * aggregate state, so the final table equals the batch aggregate — the
@@ -113,35 +149,64 @@ object StreamingQueries extends QueryModule {
       .orderBy("w_start", "event_type")
   }
 
-  /** STREAM-STREAM inner join — the last streaming join shape
-    * ([[stEnrich]] is stream-static): errors and clicks arrive as two
-    * independent streams (two branches over the same file source) and
-    * join on user within a ±5 min event-time band — the streaming twin
-    * of `q29_range_join`, checked against its oracle verbatim. The
-    * time-range condition is what lets Spark bound each side's join
-    * state to the band plus the watermark delay; the raw matched pairs
-    * go append-mode to a parquet sink and are aggregated on read-back
-    * (same pattern as [[stHourlyAppend]] — no aggregate state stacked
-    * on join state). As with [[stDedup]], the harness delay exceeds the
-    * dataset's span so no first-arrival is ever late-dropped by a
-    * file-ordering race (declared: state eviction idles here; the join
-    * operator and its two-sided state store are what this pins).
+  /** STREAM-STREAM inner join with LIVE watermark eviction — errors and
+    * clicks arrive as two independent streams (two branches over the
+    * same phased file source) and join on user within a ±5 min
+    * event-time band — the streaming twin of `q29_range_join`, checked
+    * against its oracle verbatim. The time-range condition is what lets
+    * Spark bound each side's join state to the band plus the watermark
+    * delay, and the FINITE 1-hour delay makes that bound live:
+    *
+    *   - phase 1: the full events table — both sides ingest with the
+    *     initial watermark, so every q29 pair forms in this batch.
+    *   - phase 2: a fresh-timestamped advancer (neither click nor
+    *     error) — a batch boundary at which both sides' expired state
+    *     is physically evicted under the phase-1 watermark.
+    *   - phase 3: RE-SENT copies of old clicks (same event time, now
+    *     far below the watermark). A correct engine contributes ZERO
+    *     new pairs — the rows are late input AND their only band-
+    *     mates' error state is evicted (a 10 min guard band keeps both
+    *     classifications clear of the ms-precision boundary; the
+    *     re-send cut anchors on least(max click ts, max error ts),
+    *     the value the query-global watermark actually takes). An
+    *     engine without eviction/late-drop doubles n_nearby_clicks
+    *     for every affected pair and hash-fails against the batch
+    *     oracle.
+    *
+    * Raw matched pairs go append-mode to a parquet sink and are
+    * aggregated on read-back (same pattern as [[stHourlyAppend]] — no
+    * aggregate state stacked on join state).
     */
   def stJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // [e] glob: single-file table, same reason as stWordCount
-    def src(): DataFrame = s.readStream.schema(schema)
-      .parquet(s"$dir/[e]vents.parquet")
+    val ev = s.read.parquet(s"$dir/events.parquet")
       // integral `div`, NOT `/` — see Tables.events
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val mx = ev.agg(
+      max(when(col("event_type") === "click", col("ts"))).as("max_click"),
+      max(when(col("event_type") === "error", col("ts"))).as("max_error"),
+      max("ts").as("tmax"))
+    // the query-global watermark is the MIN over both branches' nodes,
+    // each fed only its own event type — anchor the re-send cut there
+    val wmBaseUs = unix_micros(least(col("max_click"), col("max_error"))) - lit(DelayUs)
+    val resent = ev.crossJoin(broadcast(mx)) // 1-row stats broadcast
+      .where(col("event_type") === "click" &&
+        unix_micros(col("ts")) + lit(BandUs) + lit(MarginUs) < wmBaseUs)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val advancer = mx.select(lit(-1L).as("event_id"), col("tmax").as("ts"),
+      lit(-1L).as("user_id"), lit("wm_advancer").as("event_type"))
+    val srcDir = stagePhases(s, "st_join", Seq(ev, advancer, resent))
+    def src(): DataFrame = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "3650 days")
+      .withWatermark("c_ts", "1 hour")
     val errors = src().where(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"),
         col("ts").as("e_ts"))
-      .withWatermark("e_ts", "3650 days")
+      .withWatermark("e_ts", "1 hour")
     val joined = errors.join(clicks,
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
@@ -294,39 +359,54 @@ object StreamingQueries extends QueryModule {
       .orderBy("user_id")
   }
 
-  /** Streaming EXACT DEDUP — `dropDuplicatesWithinWatermark` on the
-    * event key over a deliberately DOUBLED source: the events table is
-    * staged twice across 8 files, one file per trigger, so every event
-    * arrives a second time in a later micro-batch and the dedup state
-    * must swallow it. The deduped append sink is read back and
-    * aggregated; the oracle is the batch aggregate over the ORIGINAL
-    * (single-copy) table — if even one duplicate leaks through, every
-    * count doubles and the hash fails.
+  /** Streaming EXACT DEDUP with LIVE watermark eviction —
+    * `dropDuplicatesWithinWatermark("event_id")` under a FINITE 1-hour
+    * delay over a three-phase source ([[stagePhases]]):
     *
-    * State is one (key, expiry) entry per key inside the watermark
-    * horizon — at 100 TB/day the delay bounds state to the horizon's
-    * key-arrival volume, the reason this beats an unbounded
-    * `dropDuplicates`. The harness sets the delay longer than the
-    * dataset's time span so no first-arrival can ever be declared late
-    * by a file-ordering race (declared determinism compromise: eviction
-    * idles here; the operator, its state store, and the append path are
-    * what this query pins).
+    *   - phase 1: the full events table — every key's first arrival,
+    *     all emitted. The watermark after this batch is max(ts) − 1 h,
+    *     so state for keys whose ts + 1 h fell behind it is evictable.
+    *   - phase 2: one fresh-timestamped advancer row (new key) — a
+    *     batch boundary at which the engine physically evicts the
+    *     expired phase-1 state.
+    *   - phase 3: re-arrivals of phase-1 keys at a FRESH event time
+    *     (= max ts, never late). Keys whose state was EVICTED are
+    *     readmitted — they appear in the output a second time; keys
+    *     whose state was RETAINED (ts within 2 h of max) are dropped
+    *     as duplicates. A 10 min guard band around the eviction
+    *     boundary keeps the classification engine-exact.
+    *
+    * The oracle counts each event once, PLUS the evicted group again,
+    * plus the advancer — so it distinguishes evicted-then-readmitted
+    * from retained state: an engine that never evicts (or evicts the
+    * wrong horizon) hash-fails. State is one (key, expiry) entry per
+    * key inside the horizon — at 100 TB/day the delay bounds state to
+    * the horizon's key-arrival volume, the reason this beats an
+    * unbounded `dropDuplicates`.
     */
   def stDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val srcDir = freshDir("st_dedup/src")
     val ev = s.read.parquet(s"$dir/events.parquet")
       // integral `div`, NOT `/` — see Tables.events
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    ev.repartition(4).write.mode("append").parquet(srcDir)
-    ev.repartition(4).write.mode("append").parquet(srcDir)
+    val mx = ev.agg(max("ts").as("tmax"))
+    val withMax = ev.crossJoin(broadcast(mx)) // 1-row stats broadcast
+    val tsUs = unix_micros(col("ts"))
+    val wmUs = unix_micros(col("tmax")) - lit(DelayUs) // terminal watermark
+    val evicted = tsUs + lit(DelayUs) + lit(MarginUs) < wmUs
+    val retained = tsUs + lit(DelayUs) > wmUs + lit(MarginUs)
+    val advancer = mx.select(lit(-1L).as("event_id"), col("tmax").as("ts"),
+      lit("wm_advancer").as("event_type"), lit(0.0).as("value"))
+    val rearrivals = withMax.where(evicted || retained)
+      .select(col("event_id"), col("tmax").as("ts"), col("event_type"), col("value"))
+    val srcDir = stagePhases(s, "st_dedup", Seq(ev, advancer, rearrivals))
     val chk = freshDir("st_dedup/chk")
     val out = freshDir("st_dedup/out")
-    val schema = s.read.parquet(srcDir).schema
-    val deduped = s.readStream.schema(schema)
+    val deduped = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .withWatermark("ts", "3650 days")
+      .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val q = deduped.writeStream.format("parquet")
       .option("path", out)
@@ -400,12 +480,26 @@ object StreamingQueries extends QueryModule {
   // streaming result legitimately differs from batch q16 by the
   // still-open final sessions; see the method Scaladoc).
   val oracles: Map[String, String] = Map(
-    // the batch aggregate over the SINGLE-copy table: any duplicate
-    // leaking past the dedup doubles a count and fails the hash
+    // every event once, PLUS the evicted group readmitted, plus the
+    // advancer — the oracle distinguishes evicted-then-readmitted from
+    // retained state: a duplicate leaking past retained state OR a
+    // readmission missing after eviction both fail the hash. The
+    // eviction predicate replays the Spark-side phase-3 split exactly
+    // (1 h delay, 10 min guard band, microsecond arithmetic).
     "st_dedup" ->
-      """SELECT event_type, count(*) AS n_events,
-        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""WITH mx AS (SELECT epoch_us(max(ts)) AS tmax_us FROM events),
+         |readmit AS (
+         |  SELECT event_type, value FROM events, mx
+         |  WHERE epoch_us(ts) + $DelayUs + $MarginUs < tmax_us - $DelayUs
+         |),
+         |allrows AS (
+         |  SELECT event_type, value FROM events
+         |  UNION ALL SELECT event_type, value FROM readmit
+         |  UNION ALL SELECT 'wm_advancer' AS event_type, 0.0 AS value
+         |)
+         |SELECT event_type, count(*) AS n_events,
+         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),
     "st_hourly" -> Relational.oracles("q15_events_hourly"),
     // the batch sliding-window oracle verbatim: batch≡stream for the
