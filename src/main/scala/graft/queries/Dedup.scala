@@ -150,12 +150,31 @@ object Dedup extends QueryModule {
     * cost scales with band-bucket sizes, not n². Verification re-joins
     * the shingle arrays by doc_id on candidates only.
     */
+  /** Materialize `result` into the CacheManager-tracked cache WHILE the
+    * builder's intermediate caches are still live, then release those
+    * intermediates — the unpersist-hygiene contract shared by the three
+    * persisting dedup builders ([[ddMinhashLsh]], [[ngramJaccard]],
+    * [[ddEmbedLsh]]). The returned DataFrame is cached and fully
+    * computed (the intermediates are never needed again); the ONLY
+    * block-manager resident a builder leaves behind is its own result —
+    * small by construction (capped candidate pairs), and the caller
+    * releases it with `.unpersist()` / `clearCache()` when done
+    * (DedupHygieneSpec asserts both halves). Without the eager
+    * materialization here, unpersisting the intermediates would make
+    * the caller's later action re-run the shingle/signature pipeline
+    * once per branch — the very work the persists exist to share.
+    */
+  private def settled(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    try { result.persist().count(); result }
+    finally intermediates.foreach(_.unpersist())
+  }
+
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // persist: the shingle pipeline feeds the minhash build AND both
     // verification branches (sa/sb) — without it the zip_with shingling
     // re-runs three times. Production would stage this as a bucketed
-    // table; here the block-manager cache is the same role. The harness
-    // (Bench/test teardown) clears caches between queries.
+    // table; here the block-manager cache is the same role. Released
+    // before return — see [[settled]].
     val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
     sig.count() // eager materialization — see ngramJaccard's barrier note
     val bands = sig
@@ -198,12 +217,14 @@ object Dedup extends QueryModule {
       .distinct()
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("n_union", size(array_union(col("sha"), col("shb"))))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
-        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    settled(
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("n_union", size(array_union(col("sha"), col("shb"))))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+          round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      sig, bands)
   }
 
   /** SimHash (16-bit, md5-nibble hyperplanes): per token, each hex digit
@@ -263,7 +284,8 @@ object Dedup extends QueryModule {
     // (per-partition cache locks, duplicated work under contention —
     // observed 3× run-to-run swings at sf0.1). One deliberate pass, then
     // every branch reads settled cache. Production would stage this as a
-    // bucketed table; the eager count is the same barrier.
+    // bucketed table; the eager count is the same barrier. Released
+    // before return — see [[settled]].
     val kept = cappedPostings(staged, cap).persist()
     kept.count()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
@@ -279,14 +301,16 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).cast("int").as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("n_union", col("na") + col("nb") - col("n_common"))
-      .where(col("n_common") * 5 >= col("n_union"))
-      .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
-        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    settled(
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("n_union", col("na") + col("nb") - col("n_common"))
+        .where(col("n_common") * 5 >= col("n_union"))
+        .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+          round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      kept)
   }
 
   /** Capped postings index: explode each doc's distinct shingles, count
@@ -430,7 +454,8 @@ object Dedup extends QueryModule {
       // persist + eager count: both candidate self-join branches read
       // this (n·Bands tiny rows); settling it once halves the signature
       // kernel work and avoids racing cache materialization — same
-      // barrier rationale as ngramJaccard
+      // barrier rationale as ngramJaccard. Released before return —
+      // see [[settled]].
       .persist()
     bands.count()
     val bandsKeyed = bands
@@ -444,11 +469,13 @@ object Dedup extends QueryModule {
       .distinct()
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
-    cand.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-      .where(col("cosine") >= 0.35)
-      .select("vec_a", "vec_b", "cosine")
-      .orderBy("vec_a", "vec_b")
+    settled(
+      cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .where(col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b"),
+      bands)
   }
 
   /** Connected components over an undirected pair list — the cluster-
@@ -529,8 +556,14 @@ object Dedup extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("doc_id"))
-    val scored = ddCluster(s, dir)
-      .join(TextAnalysis.taQuality(s, dir).select("doc_id", "quality"), "doc_id")
+    val clusters = ddCluster(s, dir)
+    // semi-join FIRST, score second: quality runs only over the (tiny)
+    // clustered-doc set, so the full-corpus scan stays expression-free
+    // — the shape the Scaladoc's scale note prescribes
+    val clusteredDocs = graft.sources.Tables(s, dir).documents
+      .join(clusters.select("doc_id"), Seq("doc_id"), "left_semi")
+    val scored = clusters
+      .join(TextAnalysis.qualityOf(clusteredDocs).select("doc_id", "quality"), "doc_id")
     scored
       .withColumn("rn", row_number().over(w))
       .withColumn("n_members",

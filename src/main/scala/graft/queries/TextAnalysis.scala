@@ -80,10 +80,18 @@ object TextAnalysis extends QueryModule {
     * the standard cheap pre-filter before expensive dedup/training.
     */
   def taQuality(s: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(s, dir)).orderBy("doc_id")
+
+  /** Core of [[taQuality]], parameterized on the document set so
+    * consumers can pre-restrict the corpus (e.g. [[Dedup.ddKeepBest]]
+    * semi-joins to the clustered docs FIRST, then scores only those —
+    * at 100 TB quality is never computed for rows that will be join-
+    * discarded). Per-row expressions only; no order imposed.
+    */
+  private[graft] def qualityOf(d: DataFrame): DataFrame =
     // (n_tokens, n_distinct) come from the same one-pass rep_sig kernel
     // ta_repetition uses — no staged token array, no Catalyst distinct
-    docs(s, dir)
-      .select(col("doc_id"), graft.functions.RepSig.of(col("text")).as("__r"))
+    d.select(col("doc_id"), graft.functions.RepSig.of(col("text")).as("__r"))
       .select(col("doc_id"),
         col("__r.n_tokens").as("n_tokens"),
         col("__r.n_distinct").as("n_distinct"))
@@ -93,7 +101,6 @@ object TextAnalysis extends QueryModule {
         round(lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 50.0)
           + lit(0.5) * (col("n_distinct").cast("double") / col("n_tokens")), 6))
       .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio", "quality")
-      .orderBy("doc_id")
 
   /** Token counting with a BPE-ish regex split: alpha runs, digit runs,
     * and single non-alphanumeric marks counted separately.
@@ -257,22 +264,44 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
       .orderBy("doc_id", "pos")
 
+  /** Shard count for an n-document packing run — the scale rule the
+    * other adaptive configs follow ([[Dedup.minhashRowsForN]],
+    * [[Similarity.ivfBitsForN]]). Each shard's cumulative-sum window is
+    * one in-partition sort, so the shard count must GROW with the
+    * corpus for the sort (and the packing parallelism) to stay bounded:
+    * target ≈ 64k docs per shard ⇒ shards = ⌈n / 65536⌉, floored at 8 —
+    * and 8 IS the oracled gate configuration at test scale, the same
+    * static-oracle compromise the other rules document. At 10⁹ docs
+    * the rule yields ~15k shards — cluster-width parallelism with
+    * bounded per-shard state.
+    */
+  def seqPackShardsForN(n: Long): Int =
+    math.max(8L, (n + 65535L) / 65536L).toInt
+
   /** Deterministic SEQUENCE PACKING — the pretraining step that
     * assigns documents to fixed-budget training sequences: docs are
-    * sharded (doc_id mod 8), ordered within the shard, and each doc
-    * joins the pack containing its starting token offset
+    * sharded (doc_id mod shards), ordered within the shard, and each
+    * doc joins the pack containing its starting token offset
     * (floor(tokens-before-this-doc / 2048)) — a running-cumsum
     * formulation of greedy packing that is exactly SQL-replayable,
     * unlike first-fit bin packing (inherently sequential state). One
-    * exchange on the shard key, one in-partition sort; shard count
-    * scales with cluster width at 100 TB, and the pack summary
-    * (docs + tokens per pack) is what a loader manifest consumes.
+    * exchange on the shard key, one in-partition sort; the shard count
+    * follows [[seqPackShardsForN]] (gate config = its floor, 8), and
+    * the pack summary (docs + tokens per pack) is what a loader
+    * manifest consumes.
     */
-  def taSeqPack(s: SparkSession, dir: String): DataFrame = {
+  def taSeqPack(s: SparkSession, dir: String): DataFrame =
+    seqPack(docs(s, dir), shards = 8)
+
+  /** Core of [[taSeqPack]], shard-count parameterized so the scale rule
+    * is exercisable ([[seqPackShardsForN]]; SeqPackSpec asserts the
+    * packing invariants hold for any shard count).
+    */
+  private[graft] def seqPack(d: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir)
-      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+    d.select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"),
         size(filter(toks, t => t =!= "")).as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("pack_id",
