@@ -36,6 +36,18 @@ object Relational extends QueryModule {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Per-run UNIQUE scratch root for the layout queries (q30/q34/q36/
+    * q42/q43): their oracles never read these paths (they replay over
+    * the original tables), so uniqueness is free — and two concurrent
+    * harness runs on one host must never overwrite each other's staged
+    * layouts or cross-read a partially written one.
+    */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_scratch_").toString
+
+  private def scratchDir(name: String): String =
+    java.nio.file.Paths.get(scratchRoot, name).toString
+
   /** TPC-H Q1-style pricing summary. One scan + one shuffle on the two
     * low-cardinality group keys; partial aggregation collapses 60k rows
     * (or 100 TB of rows) to #groups × #map-tasks before the exchange.
@@ -678,8 +690,7 @@ object Relational extends QueryModule {
     * that is what bucketing is for).
     */
   def q36PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q36_part").toString
+    val base = scratchDir("q36_part")
     Tables(s, dir).events
       .select(col("ts"), col("user_id"), col("value"), col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
@@ -720,8 +731,7 @@ object Relational extends QueryModule {
     * this query documents.
     */
   def q34JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q34_jsonl").toString
+    val path = scratchDir("q34_jsonl")
     Tables(s, dir).documents.select("doc_id", "lang", "text")
       .write.mode("overwrite").json(path)
     s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
@@ -741,8 +751,7 @@ object Relational extends QueryModule {
     * not performance.
     */
   def q42OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q42_orc").toString
+    val base = scratchDir("q42_orc")
     Tables(s, dir).lineitem
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
         "l_quantity", "l_extendedprice")
@@ -769,8 +778,7 @@ object Relational extends QueryModule {
     * interchange, no column pruning — analytics stays columnar.
     */
   def q43CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q43_csv").toString
+    val base = scratchDir("q43_csv")
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     Tables(s, dir).events
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -981,8 +989,7 @@ object Relational extends QueryModule {
     */
   def q30BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_q30_buckets").toString
+    val base = scratchDir("q30_buckets")
     Bucketing.writeBucketed(t.orders.select("o_orderkey", "o_orderpriority"),
       "q30_orders_b", "o_orderkey", 8, Some(s"$base/orders"))
     Bucketing.writeBucketed(
@@ -1335,11 +1342,18 @@ object Relational extends QueryModule {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |WHERE c.c_custkey % 100 = 0
         |ORDER BY c.c_custkey, price_cents DESC, o_orderkey""".stripMargin,
+    // has_missing checks KEY EXISTENCE on both engines
+    // (map_contains_key ↔ list_contains(json_keys)), never value-
+    // nullness, so a literal "missing": null key cannot diverge.
+    // n_keys/k_val rely on a documented corpus invariant: every props
+    // value is an integral number (a non-bigint value would null the
+    // whole Spark-side map — from_json is all-or-nothing per row —
+    // while DuckDB's per-key json_keys/json_extract would not).
     "q50_map_funcs" ->
       """SELECT event_id,
         | CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
         | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-        | CAST(json_extract(props, '$.missing') IS NOT NULL AS BOOLEAN) AS has_missing,
+        | CAST(list_contains(json_keys(props), 'missing') AS BOOLEAN) AS has_missing,
         | array_to_string(list_sort(json_keys(props)), ',') AS keys
         |FROM events ORDER BY event_id""".stripMargin,
     "q49_range_frame" ->

@@ -28,12 +28,18 @@ import graft.QueryModule
   */
 object StreamingQueries extends QueryModule {
 
+  /** Per-run UNIQUE root for stream sinks/checkpoints/staging — two
+    * concurrent harness runs on one host must never share (or race on)
+    * a checkpoint or sink directory.
+    */
+  private lazy val streamRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_stream_").toString
+
   /** Fresh local directory for a stream's sink/checkpoint — recreated
     * empty every run so re-runs never resume a stale checkpoint.
     */
   private def freshDir(name: String): String = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream", name)
+    val base = java.nio.file.Paths.get(streamRoot, name)
     if (java.nio.file.Files.exists(base)) {
       val walk = java.nio.file.Files.walk(base)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -433,9 +439,11 @@ object StreamingQueries extends QueryModule {
     *
     * The oracle replays q38's exact boundary semantics (break when
     * next − prev ≥ gap) and then keeps only the sessions Append
-    * actually emits: those whose end (last event + gap, in ms) the
-    * terminal watermark passed — each user's still-open final session
-    * stays in state, exactly like st_sessionize's oracle.
+    * actually emits: those whose end (last event + gap, raw micros)
+    * the ms-floored terminal watermark REACHED (<=; both boundary
+    * directions pinned by fixtures in StreamingSpec) — each user's
+    * still-open final session stays in state, exactly like
+    * st_sessionize's oracle.
     */
   def stSessionWindow(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -529,8 +537,13 @@ object StreamingQueries extends QueryModule {
         |WHERE epoch_us(hour_ts) // 1000 + 3600000 - 1 < wm_ms
         |ORDER BY hour, event_type""".stripMargin,
     // q38's session derivation (break on next − prev ≥ gap, the native
-    // merge boundary), restricted to sessions whose end (last + gap,
-    // ms) the terminal watermark (max ts, ms) passed — what Append emits
+    // merge boundary), restricted to sessions Append actually emits:
+    // those whose end (last + gap) the terminal watermark REACHED —
+    // end_us <= floor(max_us/1000)*1000. Spark compares the raw-micros
+    // session end against the ms-floored watermark, and emission is on
+    // <=, not < (both pinned by crafted boundary fixtures in
+    // StreamingSpec: an end exactly ON the watermark ms is emitted; an
+    // end inside the same ms but past its micro value is withheld)
     "st_session_window" ->
       """WITH l AS (
         |  SELECT user_id, ts, epoch_us(ts) AS us,
@@ -550,7 +563,7 @@ object StreamingQueries extends QueryModule {
         |), mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events)
         |SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start, n_events
         |FROM sess, mx
-        |WHERE (last_us + 1800000000) // 1000 < mxus // 1000
+        |WHERE last_us + 1800000000 <= (mxus // 1000) * 1000
         |ORDER BY user_id, s_start""".stripMargin,
     "st_sessionize" ->
       """WITH l AS (

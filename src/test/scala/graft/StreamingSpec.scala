@@ -153,4 +153,35 @@ class StreamingSpec extends SparkSpec {
       Session(1L, us("2026-01-01 10:00:00"), us("2026-01-01 10:05:00"), 2L),
       Session(1L, us("2026-01-01 11:05:00"), us("2026-01-01 11:05:00"), 1L)))
   }
+
+  test("session-window append boundary: end == watermark emits; sub-ms past it withholds") {
+    import spark.implicits._
+    // Pins the eviction predicate the st_session_window oracle replays:
+    // Spark compares the session end in RAW MICROS against the
+    // MS-FLOORED watermark, and emits on <= (reaching the boundary
+    // counts). Two crafted fixtures, one per boundary direction.
+    val gapUs = 30L * 60 * 1000000
+    def emittedUsers(rows: Seq[(Long, Long)]): Set[Long] = {
+      val src = java.nio.file.Files.createTempDirectory("swb_src").toString
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val ev = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(src)
+        .withWatermark("ts", "0 seconds")
+      val agg = ev.groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val sink = s"swb_sink_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sink).select("user_id").as[Long].collect().toSet
+    }
+    val t0 = 1700000000000000L // ms-aligned micros
+    // user 1's session end (t0 + gap) lands EXACTLY on the terminal
+    // watermark millisecond → emitted (<=, not <)
+    assert(emittedUsers(Seq(1L -> t0, 2L -> (t0 + gapUs))) === Set(1L))
+    // end is inside the watermark's millisecond but 500 us past its
+    // micro value → withheld (raw-micros comparison, no ms rounding up)
+    assert(emittedUsers(Seq(1L -> (t0 + 500L), 2L -> (t0 + gapUs + 900L))) === Set.empty)
+  }
 }
