@@ -483,19 +483,42 @@ object Dedup extends QueryModule {
     * verified near-dup pairs into keep/drop groups (cluster id = the
     * minimum member id, the canonical "keep" document).
     *
-    * Min-label propagation to fixpoint: every node starts at
-    * least(self, min neighbor) and each round takes the min of its label
-    * and its neighbors' labels — all hash-partitioned joins/aggregates
-    * on node id, nothing driver-sided (the convergence probe is
-    * `isEmpty` on the changed-label diff, an O(1)-row answer).
-    * Rounds = component diameter, and near-dup components are
-    * quasi-cliques (diameter 2-3 in practice); a pathological chain
-    * corpus would call for the large-star/small-star contraction
-    * (O(log²) rounds) behind this same signature. Lineage is truncated
-    * per round (localCheckpoint) so the plan does not grow with the
-    * iteration count.
+    * Min-label propagation with an automatic diameter escape hatch:
+    * every node starts at least(self, min neighbor) and each round
+    * takes the min of its label and its neighbors' labels — all
+    * hash-partitioned joins/aggregates on node id, nothing driver-sided
+    * (the convergence probe is `isEmpty` on the changed-label diff, an
+    * O(1)-row answer). Rounds = component diameter, and near-dup
+    * components are quasi-cliques (diameter 2-3 in practice) — but a
+    * pathological CHAIN corpus (doc A ≈ B ≈ C ≈ … pairwise, never
+    * transitively identical) has diameter Θ(n), so if propagation has
+    * not converged after [[MaxPropagationRounds]] rounds the work is
+    * abandoned and [[starLabels]] — the alternating large-star/
+    * small-star contraction, O(log² n) rounds — produces the identical
+    * labeling (components and their min labels are graph properties,
+    * not algorithm properties; ClusterChainSpec asserts equality on
+    * chains and seeded random graphs). Lineage is truncated per round
+    * (localCheckpoint) so the plan does not grow with iteration count.
     */
-  def clusterPairs(pairs: DataFrame): DataFrame = {
+  def clusterPairs(pairs: DataFrame): DataFrame =
+    propagateLabels(pairs, MaxPropagationRounds)._1
+      .getOrElse(starLabels(pairs)._1)
+
+  /** Propagation-round budget before [[clusterPairs]] switches to the
+    * star contraction: quasi-clique dedup components converge in 2-4
+    * rounds, so 10 is already 2-3× slack; past it the graph is
+    * chain-shaped and each further propagation round advances the min
+    * label by ONE hop while a star round roughly halves every chain.
+    */
+  private[graft] val MaxPropagationRounds = 10
+
+  /** Min-label propagation to fixpoint, bounded: returns
+    * (Some(labels), rounds) on convergence within `maxRounds`, else
+    * (None, maxRounds). Package-visible so specs can measure the round
+    * count against the component diameter.
+    */
+  private[graft] def propagateLabels(
+      pairs: DataFrame, maxRounds: Int): (Option[DataFrame], Int) = {
     val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().persist()
@@ -504,7 +527,9 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), least(col("doc_id"), col("mn")).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
       val neighborMin = e
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
@@ -519,7 +544,69 @@ object Dedup extends QueryModule {
       labels = next
     }
     e.unpersist()
-    labels
+    (if (converged) Some(labels) else None, rounds)
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the chain-pathology path of
+    * [[clusterPairs]], O(log² n) rounds regardless of diameter:
+    *
+    *   - large-star: every node links each LARGER neighbor to the
+    *     minimum of its closed neighborhood — long tails fold onto
+    *     local minima in parallel;
+    *   - small-star: every node links its smaller neighbors (and
+    *     itself) to their minimum — stars flatten one level.
+    *
+    * Both steps are a groupBy-min plus an equi-join on the node id —
+    * the same shuffle key throughout, nothing driver-sided — and each
+    * round's edge set is localCheckpointed (lineage stays flat). At
+    * the fixpoint the edge set is a disjoint union of stars centered
+    * on component minima, from which the (doc_id, cluster_id) labeling
+    * reads off directly. Returns (labels, rounds).
+    */
+  private[graft] def starLabels(pairs: DataFrame): (DataFrame, Int) = {
+    var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      // LARGE-STAR: (v, m(u)) for every neighbor v > u,
+      // m(u) = min(N(u) ∪ {u})
+      val minsL = e.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = e.where(col("b") > col("a"))
+        .join(minsL, "a")
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("x"), col("m").as("y"))
+      val afterLarge = ls.select(col("x").as("a"), col("y").as("b"))
+        .union(ls.select(col("y").as("a"), col("x").as("b")))
+        .distinct().localCheckpoint(true)
+      // SMALL-STAR: (v, m(u)) for every neighbor v < u plus (u, m(u)),
+      // m(u) = min of the smaller neighbors
+      val smaller = afterLarge.where(col("b") < col("a"))
+      val withM = smaller
+        .join(smaller.groupBy("a").agg(min("b").as("m")), "a")
+      val ss = withM.where(col("b") =!= col("m"))
+        .select(col("b").as("x"), col("m").as("y"))
+        .union(withM.select(col("a").as("x"), col("m").as("y")))
+      val next = ss.select(col("x").as("a"), col("y").as("b"))
+        .union(ss.select(col("y").as("a"), col("x").as("b")))
+        .distinct().localCheckpoint(true)
+      done = next.join(e, Seq("a", "b"), "left_anti").isEmpty &&
+        e.join(next, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+    }
+    // fixpoint = disjoint stars: non-roots carry exactly one edge to
+    // their (smaller) root; roots are the components' minima
+    val nonRoots = e.where(col("b") < col("a"))
+      .select(col("a").as("doc_id"), col("b").as("cluster_id"))
+    val roots = nonRoots.select(col("cluster_id").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    (nonRoots.unionByName(roots), rounds)
   }
 
   /** Cluster formation under the oracle: components of the VERIFIED
