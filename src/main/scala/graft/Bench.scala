@@ -28,6 +28,11 @@ object Bench {
     // survive into its timed run, under-measuring every query that
     // persist()s. Default (unset) is the honest measurement.
     val keepCache = sys.env.get("SPARK_GRAFT_KEEP_CACHE").contains("1")
+    // Focused runs (BENCH_NOTES scaling studies): SPARK_GRAFT_BENCH_ONLY
+    // is a comma-separated query subset; the corpus word-count headline
+    // is skipped for subset runs (it is a full-record metric).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def exec(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -36,6 +41,7 @@ object Bench {
       if (!keepCache) spark.catalog.clearCache()
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try exec(n)
       catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
@@ -53,7 +59,8 @@ object Bench {
     // exception traces.
     val corpus = "/root/reference/file_chunks_130"
     val wcTimes =
-      try {
+      if (only.isDefined) Seq(-1.0)
+      else try {
         def once(): Double = {
           val t0 = System.nanoTime()
           graft.core.WordCount.run(spark, Seq(corpus))
