@@ -198,10 +198,52 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** INT8 symmetric quantization + dequantized-cosine top-k — the
+    * memory-bound face of 100 TB ANN: a 64-dim float32 embedding table
+    * is 256 B/row of scan; per-vector symmetric int8 (scale =
+    * max|x|/127, q = round(x/scale)) cuts that 4× (64 B + one float
+    * scale), and candidate RERANKING runs on the dequantized values
+    * q·scale without touching the full-precision column at all. The
+    * whole quantize → dequantize → cosine → top-k pipeline is per-row
+    * expression work over the scan (no shuffle before the rank window),
+    * and every step is engine-exact arithmetic: round() is half-away-
+    * from-zero on the identical doubles in both engines, so the DuckDB
+    * oracle replays the quantized RANKING, not just the values —
+    * a lossy-compression bug (wrong scale, asymmetric clamp, float
+    * drift) reorders some top-k and hash-fails. Int8QuantSpec
+    * additionally bounds the quantization error (≤ scale/2 per dim)
+    * and measures recall@3 against the exact brute-force ranking.
+    */
+  def simInt8Topk(s: SparkSession, dir: String): DataFrame = {
+    val scale = (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      / lit(127.0)).as("scale")
+    val e = graft.core.FanOut(Tables(s, dir).embeddings)
+      .select(col("vec_id"), col("embedding"), scale)
+      .where(col("scale") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")) * col("scale")).as("dq"))
+      .select(col("vec_id"), col("dq"),
+        sqrt(dotBuiltin(col("dq"), col("dq"))).as("norm"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("dq").as("eq"), col("norm").as("nq"))
+    val c = e.select(col("vec_id"), col("dq").as("ec"), col("norm").as("nc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("vec_id"))
+    q.join(c, col("query_id") =!= col("vec_id"))
+      .withColumn("qcos", dotBuiltin(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("qcos"), 6).as("qcos"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ivf_bucket" -> (simIvfBucket _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
+    "sim_int8_topk" -> (simInt8Topk _),
   )
 
   private val dotSql =
@@ -289,6 +331,33 @@ object Similarity extends QueryModule {
          |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, rank, vec_id, cell, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Replays the full quantize → dequantize → cosine → rank pipeline:
+    // identical per-vector scale (max|x|/127 on doubles), identical
+    // half-away-from-zero round on the identical quotients, identical
+    // left-fold cosine over the dequantized doubles — so the RANKING
+    // under quantization must match, not just the rounded values.
+    "sim_int8_topk" ->
+      s"""WITH e0 AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE / scale) * scale) AS dq
+         |  FROM e0 WHERE scale > 0),
+         |q AS (SELECT vec_id AS query_id, dq AS eq FROM e WHERE vec_id < 10),
+         |c AS (SELECT vec_id, dq AS ec FROM e),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    $cosineSql AS qcos
+         |  FROM q JOIN c ON query_id <> vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, qcos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qcos DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, round(qcos, 6) AS qcos
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
   )
 }
