@@ -216,6 +216,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Deterministic corpus MIXTURE sampling — the data-mixing step of a
+    * pretraining pipeline: each SOURCE is subsampled at its own rate
+    * (here a per-source md5-derived stand-in for externally specified
+    * mixture weights; a real run swaps the rate expression for a
+    * broadcast weights table at the same shape) using the same
+    * hash-coin trick as [[taSample]], and the output is the mixing
+    * MANIFEST a loader consumes: per source, the doc counts before and
+    * after sampling and the surviving token budget. Selection is
+    * per-row expression work (md5 + string compare, no RNG state, so
+    * any executor and any retry picks the same docs) and the manifest
+    * is one low-cardinality aggregate — scan speed at 100 TB. Token
+    * counts ride the same one-pass [[graft.functions.RepSig]] kernel
+    * as ta_quality.
+    */
+  def taMixture(s: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(concat(lit("graft-mix-1|"), col("doc_id"))), 1, 4)
+    val rate = substring(md5(concat(lit("graft-mixrate-1|"), col("source"))), 1, 4)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.RepSig.of(col("text")).getField("n_tokens").as("n_tokens"),
+        coin.as("coin"), rate.as("rate"))
+      .groupBy("source")
+      .agg(max("rate").as("rate"),
+        count(lit(1)).as("n_docs_total"),
+        sum(when(col("coin") < col("rate"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("coin") < col("rate"), col("n_tokens").cast("long"))
+          .otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
   /** Repetition signals — the duplicate-content quality gates a training
     * pipeline applies FIRST, before any candidate-generating dedup
     * (cf. the Gopher/MassiveText repetition filters): the fraction of
@@ -342,6 +372,7 @@ object TextAnalysis extends QueryModule {
     "ta_pos_tokens" -> (taPosTokens _),
     "ta_repetition" -> (taRepetition _),
     "ta_sample" -> (taSample _),
+    "ta_mixture" -> (taMixture _),
     "ta_top_terms_lang" -> (taTopTermsLang _),
     "ta_doc_stats" -> (taDocStats _),
     "ta_lang_id" -> (taLangId _),
@@ -429,6 +460,19 @@ object TextAnalysis extends QueryModule {
         |WHERE substr(md5('graft-sample-1|' || CAST(doc_id AS VARCHAR)), 1, 4)
         |  < CASE WHEN lang = 'en' THEN '0ccc' ELSE '3333' END
         |ORDER BY doc_id""".stripMargin,
+    // same single-space/empty-filter token model as ta_quality; the
+    // coin/rate compares are lexicographic on identical hex strings
+    "ta_mixture" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |    substr(md5('graft-mix-1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS coin,
+        |    substr(md5('graft-mixrate-1|' || source), 1, 4) AS rate
+        |  FROM documents)
+        |SELECT source, max(rate) AS rate, count(*) AS n_docs_total,
+        |  CAST(sum(CASE WHEN coin < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(CASE WHEN coin < rate THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "ta_top_terms_lang" ->
       """WITH terms AS (
         |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
