@@ -201,4 +201,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"anti-join must stay an equi-join:\n$p")
   }
+
+  test("ta_mixture: expression-only selection, ONE aggregate exchange, no join") {
+    val p = plan("ta_mixture")
+    // the manifest is scan → per-row md5 coins → partial/final aggregate:
+    // exactly one hash exchange (on source), nothing join-shaped
+    val exchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE source-keyed exchange:\n$p")
+    assert(!p.contains("Join"), s"mixture selection must not join:\n$p")
+  }
+
+  test("sim_int8_topk: quantize/dequantize stay in-row; rank is the first key shuffle") {
+    val p = plan("sim_int8_topk")
+    // candidate generation is the deliberate small-query-set loop join;
+    // quantization itself must add no aggregate and no extra exchange
+    // before the per-query rank window
+    val exchanges = "Exchange hashpartitioning\\(query_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE query-keyed exchange for the rank window:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"quantization must be pure projection, no aggregate:\n$p")
+  }
 }
