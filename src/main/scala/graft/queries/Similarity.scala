@@ -148,14 +148,15 @@ object Similarity extends QueryModule {
   private[graft] val KmeansIters = 3
   private[graft] val KmeansProbes = 3
 
-  /** Where [[simKmeansIvf]] persists the trained centroids. This path is
-    * deliberately FIXED (not per-run unique like the roundtrip scratch
-    * dirs): the DuckDB oracle SQL must name the same files the Spark
-    * side wrote, and the SQL string is interpolated from this constant
-    * at the same JVM, so both sides always agree.
+  /** Where [[simKmeansIvf]] persists the trained centroids — per-run
+    * UNIQUE, like every other scratch path: the oracle SQL below
+    * interpolates this value, and `oracleSql` is (re-)evaluated in the
+    * SAME JVM that runs the query, so the oracle_sql.json the driver
+    * dumps always names exactly the files this run wrote. Two
+    * concurrent harness runs therefore cannot cross-read centroids.
     */
-  private[graft] val KmeansCentroidDir = java.nio.file.Paths.get(
-    sys.props("java.io.tmpdir"), "graft_kmeans_centroids").toString
+  private[graft] lazy val KmeansCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_kmeans_centroids_").toString
 
   /** k-means IVF under the driver oracle. Training (distributed
     * deterministic Lloyd, [[KmeansIvf.train]]) is not static-SQL-
