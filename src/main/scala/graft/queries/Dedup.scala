@@ -662,6 +662,34 @@ object Dedup extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** LEAKAGE-FREE train/val/test split — the assignment step a training
+    * pipeline runs AFTER near-dup clustering: a doc's split is decided
+    * by the hash-coin of its CLUSTER's canonical id (its own id when
+    * unclustered), so near-duplicate documents can never straddle
+    * train and test — the contamination a doc-keyed split silently
+    * permits (a test doc's near-dup twin in train is memorization, not
+    * generalization). 75/12.5/12.5 via two hex thresholds on the same
+    * stateless md5 coin [[graft.queries.TextAnalysis.taSample]] uses:
+    * partition-independent, rerun-reproducible, no RNG state. Scale
+    * shape: one left join of the corpus against the (tiny) clustered
+    * set + per-row expressions; SplitLeakSpec asserts every cluster
+    * lands in exactly one split.
+    */
+  def ddSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = ddCluster(s, dir).select(col("doc_id"), col("cluster_id"))
+    val keyed = Tables(s, dir).documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+    val coin = substring(md5(concat(lit("graft-split-1|"), col("split_key"))), 1, 4)
+    keyed
+      .select(col("doc_id"), col("split_key"),
+        when(coin < lit("c000"), "train")
+          .when(coin < lit("e000"), "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — the training-corpus hygiene pass that
     * flags every train document sharing a word 3-gram with the held-out
     * evaluation split (here: `doc_id % 10 == 0`, standing in for an
@@ -712,6 +740,7 @@ object Dedup extends QueryModule {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_keep_best" -> (ddKeepBest _),
+    "dd_split" -> (ddSplit _),
     "dd_contam" -> (ddContam _),
     "dd_cluster" -> (ddCluster _),
     "dd_exact" -> (ddExact _),
@@ -876,6 +905,18 @@ object Dedup extends QueryModule {
     "dd_cluster" ->
       s"""$clusterCte
          |SELECT doc_id, cluster_id FROM c ORDER BY doc_id""".stripMargin,
+    // the cluster closure LEFT-joined to the corpus; split decided by
+    // the identical hex-coin thresholds on the cluster-canonical key
+    "dd_split" ->
+      s"""$clusterCte, k AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         |)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN substr(md5('graft-split-1|' || CAST(split_key AS VARCHAR)), 1, 4) < 'c000' THEN 'train'
+         |       WHEN substr(md5('graft-split-1|' || CAST(split_key AS VARCHAR)), 1, 4) < 'e000' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
     // the cluster closure joined to ta_quality's score formula; argmax
     // per cluster on (rounded quality DESC, doc_id)
     "dd_keep_best" ->
