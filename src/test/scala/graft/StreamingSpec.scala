@@ -154,6 +154,51 @@ class StreamingSpec extends SparkSpec {
       Session(1L, us("2026-01-01 11:05:00"), us("2026-01-01 11:05:00"), 1L)))
   }
 
+  test("dropDuplicatesWithinWatermark: evicted keys readmit, retained keys drop") {
+    import spark.implicits._
+    // The minimal fixture of st_dedup's three-phase model: phase 1
+    // seeds keys OLD (ts far below the eventual watermark) and NEW
+    // (inside the horizon); phase 2 is the advancer batch at which the
+    // engine physically evicts OLD's expired state; phase 3 re-sends
+    // both keys at a fresh event time. OLD must be READMITTED (state
+    // gone), NEW must be dropped as the duplicate it is.
+    val src = java.nio.file.Files.createTempDirectory("ddw_src").toString
+    val t0 = 1700000000000000L // micros, ms-aligned
+    val hourUs = 3600L * 1000000
+    def write(name: String, mtime: Long, rows: (Long, Long)*): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("ddw_stage").toString
+      rows.toSeq.toDF("k", "us")
+        .select(col("k"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(src, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // phase 1: OLD at t0, NEW at t0+10h. Watermark after phase 1 =
+    // t0+10h − 1h = t0+9h: OLD's expiry (t0+1h) is far below it, NEW's
+    // (t0+11h) far above.
+    write("p0.parquet", 1700000000000L, 1L -> t0, 2L -> (t0 + 10 * hourUs))
+    // phase 2: advancer (fresh key, same max ts) — eviction runs here
+    write("p1.parquet", 1700000060000L, 99L -> (t0 + 10 * hourUs))
+    // phase 3: both keys re-arrive at the (never late) max event time
+    write("p2.parquet", 1700000120000L, 1L -> (t0 + 10 * hourUs), 2L -> (t0 + 10 * hourUs))
+    val deduped = spark.readStream.schema("k BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val sink = s"ddw_sink_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table(sink).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emitted(1L) === 2L, s"evicted key must be readmitted: $emitted")
+    assert(emitted(2L) === 1L, s"retained key must swallow its duplicate: $emitted")
+    assert(emitted(99L) === 1L)
+  }
+
   test("session-window append boundary: end == watermark emits; sub-ms past it withholds") {
     import spark.implicits._
     // Pins the eviction predicate the st_session_window oracle replays:
