@@ -66,32 +66,63 @@ object KmeansIvf {
     ranked(vectors, centroids).where(col("crank") <= probes)
       .select(col("vec_id"), col("cid").as("cell"), col("crank"))
 
+  /** Fixed-point scale for the re-estimation sum: embedding components
+    * (float32, unit-norm-ish synthetic data) are quantized to
+    * round(v · 2⁴⁰) and summed as exact integers. 2⁴⁰ keeps the
+    * per-term product inside double's 53-bit exact-integer range
+    * (|v| < 2¹³ would be needed to break it) while the quantization
+    * error of the MEAN is ≤ 2⁻⁴¹ — three orders of magnitude below
+    * float32's half-ulp anywhere a centroid component is ≥ 2⁻¹⁵, so
+    * the float-cast centroids are bit-identical to an exact-real mean.
+    */
+  private val FixedPointScale = 1L << 40
+
+  /** One Lloyd re-estimation step: per-cell component means over rows
+    * (cell, embedding) → (cid, centroid).
+    *
+    * Determinism without per-group buffers: a floating-point avg()
+    * would inherit addition order from shuffle arrival, making
+    * centroids run-dependent at the bit level; the previous fix
+    * (collect_list + sorted fold) was order-independent but held
+    * O(|cell|) state per (cid, dim) group — an executor-memory cliff
+    * if training ever ran on an unsampled corpus. The fixed-point sum
+    * is BOTH: integer addition is exactly associative-commutative, so
+    * any partitioning and any merge order yield the same bits, and the
+    * aggregation state is one decimal per group. Summing into
+    * decimal(35,0) (Spark widens decimal(25,0) by 10 digits) also
+    * removes the long-overflow cliff: ~10³⁵/2⁴⁰ ≈ 10²² rows per cell
+    * before saturation. The only collect_list left is the per-cid
+    * array rebuild, whose group size is the embedding DIMENSION
+    * (constant), not the cell population.
+    */
+  def reestimate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell").as("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(
+        sum(round(col("v").cast("double") * FixedPointScale)
+          .cast("decimal(25,0)")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m",
+        col("s").cast("double") / FixedPointScale / col("n"))
+      .groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x("m").cast("float")).as("centroid"))
+
   /** Lloyd iterations, fully distributed (no driver collect): centroids
     * are a DataFrame broadcast into each assignment join; initialization
-    * is the first k vectors by id (deterministic). The re-estimation
-    * mean folds each (cid, dim) group's values in SORTED order — a plain
-    * avg() would inherit FP addition order from shuffle arrival, making
-    * centroids run-dependent at the bit level; the sorted fold makes
-    * training deterministic for any partitioning, so specs (and re-runs
-    * on retried stages) see identical cells. Empty cells keep their
-    * previous centroid (left anti join refill).
+    * is the first k vectors by id (deterministic). Re-estimation is the
+    * bounded-memory fixed-point mean of [[reestimate]]. Empty cells
+    * keep their previous centroid (left anti join refill).
     */
   def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     var centroids = vectors.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
     (1 to iters).foreach { _ =>
-      val updated = assignCells(vectors, centroids)
-        .select(col("cell").as("cid"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim")
-        .agg(collect_list(col("v").cast("double")).as("vs"))
-        .withColumn("m",
-          aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x)
-            / size(col("vs")))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x("m").cast("float")).as("centroid"))
+      val updated = reestimate(
+        assignCells(vectors, centroids).select(col("cell"), col("embedding")))
       val kept = centroids.join(updated, Seq("cid"), "left_anti")
       centroids = updated.unionByName(kept).localCheckpoint(eager = true)
     }

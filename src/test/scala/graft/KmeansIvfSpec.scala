@@ -82,6 +82,61 @@ class KmeansIvfSpec extends SparkSpec {
       f"k-means IVF ($kmRecall%.3f) must not trail the sign quantizer ($signRecall%.3f)")
   }
 
+  /** The round-5 re-estimation: collect_list per (cid, dim) + sorted
+    * double fold — order-independent but O(|cell|) state per group.
+    * Kept here (test-only) as the reference for the bit-equality check
+    * on its bounded-memory replacement.
+    */
+  private def reestimateSortedFold(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell").as("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(collect_list(col("v").cast("double")).as("vs"))
+      .withColumn("m",
+        aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x)
+          / size(col("vs")))
+      .groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x("m").cast("float")).as("centroid"))
+
+  private def centroidBits(df: DataFrame): Map[Int, Seq[Int]] =
+    df.collect().map { r =>
+      r.getInt(0) -> r.getSeq[Float](1).map(java.lang.Float.floatToIntBits)
+    }.toMap
+
+  test("fixed-point re-estimation is bit-identical to the sorted-fold reference") {
+    val centroids = KmeansIvf.train(emb, k = 16, iters = 1)
+    val assigned = KmeansIvf.assignCells(emb, centroids)
+      .select(col("cell"), col("embedding"))
+    val fixed = centroidBits(KmeansIvf.reestimate(assigned))
+    val folded = centroidBits(reestimateSortedFold(assigned))
+    assert(fixed.keySet == folded.keySet)
+    fixed.foreach { case (cid, bits) =>
+      assert(bits == folded(cid), s"cell $cid: float bits diverge")
+    }
+  }
+
+  test("re-estimation handles a hot cell without collect_list over cell members") {
+    // Deliberate skew: every vector lands in cell 0 except one straggler.
+    val skewed = emb.select(
+      when(col("vec_id") === 0L, lit(1)).otherwise(lit(0)).as("cell"),
+      col("embedding"))
+    val out = KmeansIvf.reestimate(skewed)
+    // The only collect_list in the plan is the per-cid dim rebuild
+    // (group size = embedding dimension, a constant) — the per-(cid, dim)
+    // value aggregation must be a sum, not a buffered list.
+    val plan = out.queryExecution.optimizedPlan.toString
+    val nCollect = "collect_list".r.findAllIn(plan).size
+    assert(nCollect == 1, s"expected 1 collect_list (dim rebuild), got $nCollect:\n$plan")
+    assert(plan.contains("sum("), "per-(cid, dim) aggregation must be a sum")
+    val bits = centroidBits(out)
+    assert(bits.keySet == Set(0, 1))
+    // And the hot cell's mean still matches the O(n)-state reference.
+    assert(bits == centroidBits(reestimateSortedFold(skewed)))
+  }
+
   test("assignCells puts every vector in exactly one existing cell") {
     val centroids = KmeansIvf.train(emb.limit(64), k = 16, iters = 2)
     val cells = KmeansIvf.assignCells(emb.limit(64), centroids)
