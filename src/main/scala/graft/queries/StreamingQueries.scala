@@ -390,9 +390,46 @@ object StreamingQueries extends QueryModule {
     * the horizon's key-arrival volume, the reason this beats an
     * unbounded `dropDuplicates`.
     */
-  def stDedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+  def stDedup(s: SparkSession, dir: String): DataFrame =
+    stDedupCore(s, dir, "st_dedup", rocksDb = false)
+
+  /** [[stDedup]]'s exact three-phase eviction fixture re-run on the
+    * RocksDB state store provider (Spark ships it in-box) — the
+    * deployment shape for state that outgrows the executor heap: at
+    * 100 TB/day the dedup horizon's key volume lives off-heap/on-disk
+    * in RocksDB instances with incremental checkpointing, while the
+    * heap provider caps state at executor memory. Same oracle as
+    * st_dedup — the provider swap must be semantics-invisible,
+    * including the physical eviction timing the three phases pin.
+    * StreamingSpec asserts (from the captured query progress) that the
+    * RocksDB provider was genuinely in use.
+    */
+  def stDedupRocksDb(s: SparkSession, dir: String): DataFrame =
+    stDedupCore(s, dir, "st_dedup_rocksdb", rocksDb = true)
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Progress JSON of the most recent [[stDedupCore]] run, for
+    * StreamingSpec's the-provider-was-actually-used assertion (the
+    * per-batch progress names the state store's custom metrics, which
+    * are provider-specific: `rocksdb*` keys only under RocksDB).
+    */
+  @volatile private[graft] var lastDedupProgress: Seq[String] = Nil
+
+  private def stDedupCore(s: SparkSession, dir: String, name: String,
+      rocksDb: Boolean): DataFrame = {
+    // An isolated session (shared SparkContext, own conf) keeps the
+    // provider override scoped to THIS query — the session conf is read
+    // at stream start, so mutating the caller's session would leak the
+    // provider into every streaming query started after us.
+    val ss = if (rocksDb) {
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      ns
+    } else s
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = ss.read.parquet(s"$dir/events.parquet")
       // integral `div`, NOT `/` — see Tables.events
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -406,10 +443,10 @@ object StreamingQueries extends QueryModule {
       lit("wm_advancer").as("event_type"), lit(0.0).as("value"))
     val rearrivals = withMax.where(evicted || retained)
       .select(col("event_id"), col("tmax").as("ts"), col("event_type"), col("value"))
-    val srcDir = stagePhases(s, "st_dedup", Seq(ev, advancer, rearrivals))
-    val chk = freshDir("st_dedup/chk")
-    val out = freshDir("st_dedup/out")
-    val deduped = s.readStream
+    val srcDir = stagePhases(ss, name, Seq(ev, advancer, rearrivals))
+    val chk = freshDir(s"$name/chk")
+    val out = freshDir(s"$name/out")
+    val deduped = ss.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .withWatermark("ts", "1 hour")
@@ -419,8 +456,11 @@ object StreamingQueries extends QueryModule {
       .option("checkpointLocation", chk)
       .outputMode("append")
       .start()
-    try q.processAllAvailable() finally q.stop()
-    s.read.parquet(out)
+    try {
+      q.processAllAvailable()
+      lastDedupProgress = q.recentProgress.toSeq.map(_.json)
+    } finally q.stop()
+    ss.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
@@ -473,6 +513,7 @@ object StreamingQueries extends QueryModule {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_session_window" -> (stSessionWindow _),
     "st_dedup" -> (stDedup _),
+    "st_dedup_rocksdb" -> (stDedupRocksDb _),
     "st_word_count" -> (stWordCount _),
     "st_hourly" -> (stHourly _),
     "st_sliding" -> (stSliding _),
@@ -487,27 +528,33 @@ object StreamingQueries extends QueryModule {
   // equivalence is the whole point. st_sessionize: its own oracle (the
   // streaming result legitimately differs from batch q16 by the
   // still-open final sessions; see the method Scaladoc).
+  /** Every event once, PLUS the evicted group readmitted, plus the
+    * advancer — the oracle distinguishes evicted-then-readmitted from
+    * retained state: a duplicate leaking past retained state OR a
+    * readmission missing after eviction both fail the hash. The
+    * eviction predicate replays the Spark-side phase-3 split exactly
+    * (1 h delay, 10 min guard band, microsecond arithmetic). Shared
+    * verbatim by st_dedup and st_dedup_rocksdb: the provider swap must
+    * be semantics-invisible, eviction timing included.
+    */
+  private val stDedupOracle: String =
+    s"""WITH mx AS (SELECT epoch_us(max(ts)) AS tmax_us FROM events),
+       |readmit AS (
+       |  SELECT event_type, value FROM events, mx
+       |  WHERE epoch_us(ts) + $DelayUs + $MarginUs < tmax_us - $DelayUs
+       |),
+       |allrows AS (
+       |  SELECT event_type, value FROM events
+       |  UNION ALL SELECT event_type, value FROM readmit
+       |  UNION ALL SELECT 'wm_advancer' AS event_type, 0.0 AS value
+       |)
+       |SELECT event_type, count(*) AS n_events,
+       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // every event once, PLUS the evicted group readmitted, plus the
-    // advancer — the oracle distinguishes evicted-then-readmitted from
-    // retained state: a duplicate leaking past retained state OR a
-    // readmission missing after eviction both fail the hash. The
-    // eviction predicate replays the Spark-side phase-3 split exactly
-    // (1 h delay, 10 min guard band, microsecond arithmetic).
-    "st_dedup" ->
-      s"""WITH mx AS (SELECT epoch_us(max(ts)) AS tmax_us FROM events),
-         |readmit AS (
-         |  SELECT event_type, value FROM events, mx
-         |  WHERE epoch_us(ts) + $DelayUs + $MarginUs < tmax_us - $DelayUs
-         |),
-         |allrows AS (
-         |  SELECT event_type, value FROM events
-         |  UNION ALL SELECT event_type, value FROM readmit
-         |  UNION ALL SELECT 'wm_advancer' AS event_type, 0.0 AS value
-         |)
-         |SELECT event_type, count(*) AS n_events,
-         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st_dedup" -> stDedupOracle,
+    "st_dedup_rocksdb" -> stDedupOracle,
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),
     "st_hourly" -> Relational.oracles("q15_events_hourly"),
     // the batch sliding-window oracle verbatim: batch≡stream for the

@@ -199,6 +199,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted(99L) === 1L)
   }
 
+  test("st_dedup_rocksdb genuinely runs on the RocksDB state store, result-invisibly") {
+    import graft.queries.StreamingQueries
+    val dir = "/root/testdata/sf0.001"
+    // Default provider first: progress must NOT carry rocksdb metrics —
+    // this also proves the RocksDB conf stays scoped to its own session
+    // (st_dedup after st_dedup_rocksdb would otherwise inherit it).
+    val heap = StreamingQueries.stDedup(spark, dir).collect().toSeq
+    val heapProgress = StreamingQueries.lastDedupProgress.mkString("\n")
+    assert(heapProgress.nonEmpty && !heapProgress.contains("rocksdb"),
+      "default provider run must not report RocksDB custom metrics")
+    val rocks = StreamingQueries.stDedupRocksDb(spark, dir).collect().toSeq
+    // The per-batch progress JSON names the state operator's custom
+    // metrics, and the rocksdb* keys exist only under the RocksDB
+    // provider — the strongest in-band proof the provider was active.
+    val rocksProgress = StreamingQueries.lastDedupProgress.mkString("\n")
+    assert(rocksProgress.contains("rocksdb"),
+      s"expected RocksDB custom metrics in query progress:\n$rocksProgress")
+    assert(rocks === heap, "provider swap must be semantics-invisible")
+    // And the heap run after it is still on the default provider.
+    StreamingQueries.stDedup(spark, dir).collect()
+    assert(!StreamingQueries.lastDedupProgress.mkString("\n").contains("rocksdb"),
+      "RocksDB conf leaked out of its isolated session")
+  }
+
   test("session-window append boundary: end == watermark emits; sub-ms past it withholds") {
     import spark.implicits._
     // Pins the eviction predicate the st_session_window oracle replays:
