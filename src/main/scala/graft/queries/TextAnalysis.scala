@@ -246,6 +246,50 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
+  /** Externally-specified mixture weights for [[taMixtureWeighted]] —
+    * the role a config file or weights service plays in a real
+    * pretraining run. Rates are 4-hex-digit thresholds on the same
+    * md5 coin as [[taMixture]] ('1000' = 6.25 %, '3000' = 18.75 %,
+    * '8000' = 50 %, 'e000' = 87.5 %, cycling by source index); the
+    * values are arbitrary by design — the POINT is that they are
+    * data, not derivable from the source name.
+    */
+  private[graft] val MixtureWeights: Seq[(String, String)] =
+    (0 until 20).map { n =>
+      s"src$n" -> Seq("1000", "3000", "8000", "e000")(n % 4)
+    }
+
+  /** Mixture sampling against a WEIGHTS TABLE — [[taMixture]]'s
+    * md5-derived stand-in rate replaced by a `(source, rate)`
+    * DataFrame broadcast-joined onto the corpus: the weights side is
+    * O(#sources) rows, always broadcastable, so the join is a map-side
+    * hash probe and the whole query still runs at scan speed — no
+    * shuffle is added over the inline-expression variant. Sources
+    * absent from the weights table sample at rate '0000' (dropped):
+    * a mixture spec is exhaustive by contract, and silently passing
+    * unknown sources through would un-pin the token budget.
+    */
+  private[graft] def taMixtureCore(d: DataFrame, rates: DataFrame): DataFrame = {
+    val coin = substring(md5(concat(lit("graft-mix-1|"), col("doc_id"))), 1, 4)
+    d.select(col("source"), col("doc_id"),
+        graft.functions.RepSig.of(col("text")).getField("n_tokens").as("n_tokens"),
+        coin.as("coin"))
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit("0000")))
+      .groupBy("source")
+      .agg(max("rate").as("rate"),
+        count(lit(1)).as("n_docs_total"),
+        sum(when(col("coin") < col("rate"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("coin") < col("rate"), col("n_tokens").cast("long"))
+          .otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  def taMixtureWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    taMixtureCore(docs(s, dir), MixtureWeights.toDF("source", "rate"))
+  }
+
   /** Repetition signals — the duplicate-content quality gates a training
     * pipeline applies FIRST, before any candidate-generating dedup
     * (cf. the Gopher/MassiveText repetition filters): the fraction of
@@ -373,6 +417,7 @@ object TextAnalysis extends QueryModule {
     "ta_repetition" -> (taRepetition _),
     "ta_sample" -> (taSample _),
     "ta_mixture" -> (taMixture _),
+    "ta_mixture_weighted" -> (taMixtureWeighted _),
     "ta_top_terms_lang" -> (taTopTermsLang _),
     "ta_doc_stats" -> (taDocStats _),
     "ta_lang_id" -> (taLangId _),
@@ -473,6 +518,23 @@ object TextAnalysis extends QueryModule {
         |  CAST(sum(CASE WHEN coin < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
         |  CAST(sum(CASE WHEN coin < rate THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // the weights table interpolated as a VALUES list — same external
+    // rates the Spark side broadcast-joins; unknown sources → '0000'
+    "ta_mixture_weighted" ->
+      s"""WITH rates AS (
+         |  SELECT * FROM (VALUES ${
+               MixtureWeights.map { case (src, r) => s"('$src','$r')" }.mkString(", ")
+             }) AS t(source, rate)),
+         |d AS (
+         |  SELECT documents.source AS source, doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+         |    substr(md5('graft-mix-1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS coin,
+         |    coalesce(rates.rate, '0000') AS rate
+         |  FROM documents LEFT JOIN rates ON documents.source = rates.source)
+         |SELECT source, max(rate) AS rate, count(*) AS n_docs_total,
+         |  CAST(sum(CASE WHEN coin < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(CASE WHEN coin < rate THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "ta_top_terms_lang" ->
       """WITH terms AS (
         |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
