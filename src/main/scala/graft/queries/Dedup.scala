@@ -668,25 +668,59 @@ object Dedup extends QueryModule {
     * unclustered), so near-duplicate documents can never straddle
     * train and test — the contamination a doc-keyed split silently
     * permits (a test doc's near-dup twin in train is memorization, not
-    * generalization). 75/12.5/12.5 via two hex thresholds on the same
-    * stateless md5 coin [[graft.queries.TextAnalysis.taSample]] uses:
+    * generalization). Ratios are parameterized ([[splitThresholds]];
+    * the oracle pins the 75/12.5/12.5 default) as hex thresholds on
+    * the same stateless md5 coin
+    * [[graft.queries.TextAnalysis.taSample]] uses:
     * partition-independent, rerun-reproducible, no RNG state. Scale
     * shape: one left join of the corpus against the (tiny) clustered
-    * set + per-row expressions; SplitLeakSpec asserts every cluster
-    * lands in exactly one split.
+    * set + per-row expressions; SplitLeakSpec asserts — independently
+    * of this implementation, via the clustered pairs — that every
+    * cluster lands in exactly one split.
     */
-  def ddSplit(s: SparkSession, dir: String): DataFrame = {
+  def ddSplit(s: SparkSession, dir: String): DataFrame =
+    ddSplitWith(s, dir, SplitRatios, SplitNames)
+
+  /** Oracle-pinned default split config: 75 % train, 12.5 % val,
+    * 12.5 % test → thresholds "c000"/"e000" in the oracle SQL.
+    */
+  private[graft] val SplitRatios = Seq(0.75, 0.125, 0.125)
+  private[graft] val SplitNames = Seq("train", "val", "test")
+
+  /** Cumulative hex thresholds on the 16-bit coin space for a ratio
+    * vector: n ratios (each > 0, summing to 1) → n−1 strictly
+    * increasing 4-hex-digit cut points. The k-th split takes coins in
+    * [threshold(k−1), threshold(k)) — so any mixture a pipeline wants
+    * is two lines of config away, without touching the oracle SQL
+    * (which pins the default; the SplitConfig spec pins the rule).
+    */
+  private[graft] def splitThresholds(ratios: Seq[Double]): Seq[String] = {
+    require(ratios.size >= 2 && ratios.forall(_ > 0.0),
+      s"need >= 2 positive ratios, got $ratios")
+    require(math.abs(ratios.sum - 1.0) < 1e-9, s"ratios must sum to 1: $ratios")
+    val cuts = ratios.scanLeft(0.0)(_ + _).tail.init // cumulative, drop 0 and 1
+    val hex = cuts.map(f => f"${math.round(f * 0x10000).toInt}%04x")
+    require(hex == hex.sorted && hex.distinct == hex,
+      s"thresholds must be strictly increasing: $hex (ratios too fine for 16 bits)")
+    hex
+  }
+
+  private[graft] def ddSplitWith(s: SparkSession, dir: String,
+      ratios: Seq[Double], names: Seq[String]): DataFrame = {
+    require(names.size == ratios.size, "one name per ratio")
+    val thresholds = splitThresholds(ratios)
     val clusters = ddCluster(s, dir).select(col("doc_id"), col("cluster_id"))
     val keyed = Tables(s, dir).documents.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
     val coin = substring(md5(concat(lit("graft-split-1|"), col("split_key"))), 1, 4)
+    val split = names.init.zip(thresholds)
+      .foldRight(lit(names.last): org.apache.spark.sql.Column) {
+        case ((name, th), els) => when(coin < lit(th), lit(name)).otherwise(els)
+      }
     keyed
-      .select(col("doc_id"), col("split_key"),
-        when(coin < lit("c000"), "train")
-          .when(coin < lit("e000"), "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), col("split_key"), split.as("split"))
       .orderBy("doc_id")
   }
 
