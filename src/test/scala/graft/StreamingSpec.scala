@@ -127,6 +127,81 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("alpha" -> 2L, "beta" -> 3L, "gamma" -> 1L), got.toString)
   }
 
+  test("stream-stream join recovers its two-sided state across a checkpoint restart") {
+    import spark.implicits._
+    // st_join's three-phase eviction model with a CRASH between phase 2
+    // and phase 3: the restarted query must recover both sides' join
+    // state AND the watermark from the checkpoint, so (a) a re-sent
+    // pre-eviction click still contributes ZERO pairs — late-drop and
+    // partner-eviction survive the restart — while (b) a fresh click
+    // joining RETAINED error state still pairs, proving recovery kept
+    // the live state rather than dropping everything.
+    val srcDir = Files.createTempDirectory("ssj_src").toString
+    val chk = ckpt()
+    val out = Files.createTempDirectory("ssj_out").toString
+    val t0 = 1700000000000000L // micros, ms-aligned
+    val minUs = 60L * 1000000
+    val hourUs = 60 * minUs
+    def write(name: String, mtime: Long, rows: (Long, Long, Long, String)*): Unit = {
+      val scratch = Files.createTempDirectory("ssj_stage").toString
+      rows.toSeq.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime), s"cannot set mtime on $dst")
+    }
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      def src() = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val clicks = src().where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val errors = src().where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      errors.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("c_ts") <= col("e_ts") + expr("INTERVAL 5 MINUTES"))
+        .select("error_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+    // phase 1: u1's error+click pair OLD (at t0); fresh click (u2) and
+    // fresh error (u3) at t0+10h set the watermark to t0+9h — u1's
+    // state is expired under it, u3's error is retained
+    write("p0.parquet", 1700000000000L,
+      (100L, t0, 1L, "error"), (101L, t0 + 2 * minUs, 1L, "click"),
+      (102L, t0 + 10 * hourUs, 2L, "click"), (103L, t0 + 10 * hourUs, 3L, "error"))
+    // phase 2: a batch boundary at which u1's expired state is evicted
+    write("p1.parquet", 1700000060000L, (104L, t0 + 10 * hourUs, 9L, "neither"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // the "crash"
+    // phase 3, AFTER the crash: u1's click re-sent (must add zero
+    // pairs) + a fresh u3 click in-band with the retained u3 error
+    write("p2.parquet", 1700000120000L,
+      (105L, t0 + 2 * minUs, 1L, "click"),
+      (106L, t0 + 10 * hourUs + 2 * minUs, 3L, "click"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // non-vacuity: the restarted query genuinely ingested phase 3
+      assert(q2.recentProgress.map(_.numInputRows).sum > 0L)
+    } finally q2.stop()
+    val pairs = spark.read.parquet(out)
+      .groupBy("error_id", "user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // u1's pair formed once (phase 1, never re-added by the re-send);
+    // u3's pair formed post-restart from RECOVERED error state
+    assert(pairs === Map((100L, 1L) -> 1L, (103L, 3L) -> 1L), pairs.toString)
+  }
+
   test("stateful sessionize closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
