@@ -211,6 +211,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"mixture selection must not join:\n$p")
   }
 
+  test("sim_kmeans_ivf: centroid joins broadcast; the only merge join is on the cell key") {
+    val p = plan("sim_kmeans_ivf")
+    // both centroid passes (multi-probe on the queries, assignment on
+    // the corpus) must be broadcast loop joins over the k-row centroid
+    // table — a map-side loop, never a shuffle of the vector side
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(loops == 2, s"expected 2 broadcast centroid loops, got $loops:\n$p")
+    // candidate generation is an equi-join on the compact CELL key; a
+    // SortMergeJoin keyed on anything vector-shaped (vec_id/embedding)
+    // would mean the quantizer degenerated to pairwise comparison
+    val smj = "SortMergeJoin \\[([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(smj.forall(_ == "cell"),
+      s"every merge join must key on the cell, got $smj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+  }
+
   test("sim_int8_topk: quantize/dequantize stay in-row; rank is the first key shuffle") {
     val p = plan("sim_int8_topk")
     // candidate generation is the deliberate small-query-set loop join;
