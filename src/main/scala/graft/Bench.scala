@@ -58,8 +58,10 @@ object Bench {
     // trace to stderr on every run — a clean record run must not print
     // exception traces.
     val corpus = "/root/reference/file_chunks_130"
-    val wcTimes =
-      if (only.isDefined) Seq(-1.0)
+    // Subset runs (and a failed headline) report null, never a numeric
+    // sentinel — a -1.0 would silently win any min/best-of consumer.
+    val wcBest: Option[Double] =
+      if (only.isDefined) None
       else try {
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -67,12 +69,11 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        once(); (1 to 5).map(_ => once())
+        once(); Some((1 to 5).map(_ => once()).min)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] corpus wc failed: ${e.getMessage}"); Seq(-1.0)
+        System.err.println(s"[bench] corpus wc failed: ${e.getMessage}"); None
       }
-    val wcBest = wcTimes.min
-    val tokPerSec = if (wcBest > 0) (2297140L / wcBest).toLong else -1L
+    val tokPerSec: Option[Long] = wcBest.map(b => (2297140L / b).toLong)
     // Three timed passes, report the per-query MIN. Single runs proved
     // untrustworthy: BENCH_r01 vs r02 showed 2–6× swings on queries whose
     // code had not changed, and the slow cluster moves between runs
@@ -127,6 +128,7 @@ object Bench {
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_runs":$runsJson,"errors":$errors,"n_failed":$nFailed,""" +
-      s""""wc_corpus_130_sec":$wcBest,"wc_corpus_tokens_per_sec":$tokPerSec,"sf":"$sfDir"}""")
+      s""""wc_corpus_130_sec":${wcBest.fold("null")(_.toString)},""" +
+      s""""wc_corpus_tokens_per_sec":${tokPerSec.fold("null")(_.toString)},"sf":"$sfDir"}""")
   }
 }

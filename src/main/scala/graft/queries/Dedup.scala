@@ -499,6 +499,12 @@ object Dedup extends QueryModule {
     * not algorithm properties; ClusterChainSpec asserts equality on
     * chains and seeded random graphs). Lineage is truncated per round
     * (localCheckpoint) so the plan does not grow with iteration count.
+    *
+    * Contract: self-pairs (doc_a == doc_b) are IGNORED by both paths —
+    * a doc related only to itself is simply unclustered, which every
+    * consumer already treats as a singleton (`coalesce(cluster_id,
+    * doc_id)`). ClusterChainSpec pins the two paths' agreement on
+    * inputs containing self-pairs.
     */
   def clusterPairs(pairs: DataFrame): DataFrame =
     propagateLabels(pairs, MaxPropagationRounds)._1
@@ -521,6 +527,11 @@ object Dedup extends QueryModule {
       pairs: DataFrame, maxRounds: Int): (Option[DataFrame], Int) = {
     val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      // self-pairs carry no clustering information; dropping them here
+      // keeps this path's node set IDENTICAL to starLabels' (which must
+      // drop them for its star-fixpoint test) — the two algorithms are
+      // interchangeable on ANY input, not just self-loop-free input
+      .where(col("a") =!= col("b"))
       .distinct().persist()
     var labels = e.groupBy(col("a").as("doc_id"))
       .agg(min("b").as("mn"))

@@ -43,7 +43,7 @@ object Relational extends QueryModule {
     * layouts or cross-read a partially written one.
     */
   private lazy val scratchRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_scratch_").toString
+    graft.core.TempDirs.create("graft_scratch_")
 
   private def scratchDir(name: String): String =
     java.nio.file.Paths.get(scratchRoot, name).toString

@@ -154,6 +154,11 @@ object Similarity extends QueryModule {
     * SAME JVM that runs the query, so the oracle_sql.json the driver
     * dumps always names exactly the files this run wrote. Two
     * concurrent harness runs therefore cannot cross-read centroids.
+    *
+    * Deliberately NOT routed through [[graft.core.TempDirs]]: the
+    * DuckDB oracle replays these files AFTER this JVM has exited, so
+    * an exit-time cleanup would delete the oracle's input. The k-row
+    * parquet is the one scratch path that must outlive the run.
     */
   private[graft] lazy val KmeansCentroidDir = java.nio.file.Files
     .createTempDirectory("graft_kmeans_centroids_").toString

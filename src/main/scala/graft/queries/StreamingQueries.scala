@@ -33,7 +33,7 @@ object StreamingQueries extends QueryModule {
     * a checkpoint or sink directory.
     */
   private lazy val streamRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    graft.core.TempDirs.create("graft_stream_")
 
   /** Fresh local directory for a stream's sink/checkpoint — recreated
     * empty every run so re-runs never resume a stale checkpoint.
@@ -81,7 +81,12 @@ object StreamingQueries extends QueryModule {
       val dst = java.nio.file.Paths.get(srcDir, f"phase-$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      // the mtime IS the phase order — on a filesystem where it cannot
+      // be set, the replay would be arbitrarily ordered and the
+      // eviction oracles would fail as a baffling hash mismatch, so
+      // surface it as a setup error instead
+      require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+        s"could not set modification time on $dst — phase ordering undefined")
     }
     srcDir
   }

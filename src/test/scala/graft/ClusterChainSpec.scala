@@ -58,6 +58,17 @@ class ClusterChainSpec extends SparkSpec {
     assert(labels === (0L until 40L).map(_ -> 0L).toMap)
   }
 
+  test("both paths agree on self-pairs: ignored, the node stays unclustered") {
+    // clusterPairs' contract: a doc related only to itself carries no
+    // clustering information — BOTH algorithms must drop it (consumers
+    // already coalesce unclustered docs to singletons). Node 7 appears
+    // only as a self-pair; node 2 has a self-pair AND a real edge.
+    val pairs = Seq((7L, 7L), (2L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L)
+    assert(labelsOf(Dedup.propagateLabels(pairs, 100)._1.get) === expected)
+    assert(labelsOf(Dedup.starLabels(pairs)._1) === expected)
+  }
+
   test("clusterPairs still takes the propagation path on quasi-cliques") {
     // two disjoint triangles: diameter 1, converges in round 1
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))

@@ -26,7 +26,7 @@ class EncodingFidelitySpec extends SparkSpec {
     val bytes = Array[Byte](
       'c', 'a', 'f', 0xE9.toByte, ' ', 'c', 'a', 'f', 0xE9.toByte, '\n',
       'n', 'a', 0xEF.toByte, 'v', 'e', '\n')
-    val dir = Files.createTempDirectory("graft-latin1")
+    val dir = graft.core.TempDirs.path("graft-latin1")
     Files.write(dir.resolve("input.txt"), bytes)
     dir
   }
@@ -54,7 +54,7 @@ class EncodingFidelitySpec extends SparkSpec {
     // 40×0xE9 = 40 C bytes (kept); a decode-then-reencode pipeline would
     // see 40 × U+FFFD = 120 UTF-8 bytes and wrongly drop the token.
     val word = Array.fill(40)(0xE9.toByte)
-    val dir = Files.createTempDirectory("graft-bytecap")
+    val dir = graft.core.TempDirs.path("graft-bytecap")
     Files.write(dir.resolve("input.txt"), word :+ '\n'.toByte)
     val counts = WordCount.run(spark, Seq(dir.toString))
       .select(hex(col("word")).as("h"), col("count"))
@@ -64,7 +64,7 @@ class EncodingFidelitySpec extends SparkSpec {
 
   test("the text sink writes the raw bytes back out unchanged") {
     val dir = latin1Fixture()
-    val out = Files.createTempDirectory("graft-latin1-out").resolve("sink")
+    val out = graft.core.TempDirs.path("graft-latin1-out").resolve("sink")
     WordCount.sink(WordCount.run(spark, Seq(dir.toString)), out.toString)
     val written = Files.list(out).iterator().asInstanceOf[java.util.Iterator[Path]]
     val bytes = scala.jdk.CollectionConverters.IteratorHasAsScala(written).asScala

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class IngestRobustnessSpec extends SparkSpec {
 
   private def writeMixed(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad")
+    val dir = graft.core.TempDirs.path("graft_jsonl_bad")
     val lines = Seq(
       """{"doc_id": 1, "lang": "en", "text": "good row"}""",
       """{"doc_id": 2, "lang": "de", "text": "also good"}""",

@@ -31,7 +31,7 @@ class LongLineDivergenceSpec extends SparkSpec {
     val line = pad + word
     assert(line.getBytes(StandardCharsets.UTF_8).length === 262)
 
-    val dir = Files.createTempDirectory("graft-longline")
+    val dir = graft.core.TempDirs.path("graft-longline")
     Files.write(dir.resolve("input.txt"), (line + "\n").getBytes(StandardCharsets.UTF_8))
 
     val counts = WordCount.run(spark, Seq(dir.toString))

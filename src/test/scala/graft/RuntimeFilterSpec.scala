@@ -28,8 +28,7 @@ class RuntimeFilterSpec extends SparkSpec {
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val s = spark
     // per-run unique scratch: concurrent runs must not race on overwrite
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_dpp_events_").toString
+    val base = graft.core.TempDirs.create("graft_dpp_events_")
     graft.sources.Tables(s, sfDir).events
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
@@ -37,8 +36,7 @@ class RuntimeFilterSpec extends SparkSpec {
     // the dim must be a real source: a filtered LocalRelation is
     // constant-folded (ConvertToLocalRelation), leaving no selective
     // Filter node for DPP's benefit heuristic to see
-    val dimPath = java.nio.file.Files
-      .createTempDirectory("graft_dpp_dim_").toString
+    val dimPath = graft.core.TempDirs.create("graft_dpp_dim_")
     s.createDataFrame(Seq(
       ("click", 1.0), ("view", 0.5), ("purchase", 3.0), ("error", 0.0),
       ("scroll", 0.1))).toDF("etype", "weight")

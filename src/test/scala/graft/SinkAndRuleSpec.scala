@@ -13,7 +13,7 @@ class SinkAndRuleSpec extends SparkSpec {
   test("sink writes space-separated lines; concat-merge reproduces counts") {
     import spark.implicits._
     val counts = WordCount.count(Seq("a b a", "c ... a").toDF("value"))
-    val out = Files.createTempDirectory("graft-sink").toString + "/wc"
+    val out = graft.core.TempDirs.create("graft-sink") + "/wc"
     WordCount.sink(counts, out, partitions = 3)
     // the reference merges with `cat output_*` — reading the whole dir
     // as text is the same operation
@@ -34,7 +34,7 @@ class SinkAndRuleSpec extends SparkSpec {
     val words = (0 until 200)
       .map(i => s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
     val counts = WordCount.count(Seq(words).toDF("value"))
-    val out = Files.createTempDirectory("graft-sink-rh").toString + "/wc"
+    val out = graft.core.TempDirs.create("graft-sink-rh") + "/wc"
     val nParts = 4
     WordCount.sink(counts, out, partitions = nParts, byRefHash = true)
     // reference layout invariant (mpi_mapreduce.c:278-289): each word

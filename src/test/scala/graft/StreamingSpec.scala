@@ -11,7 +11,7 @@ import graft.streaming.{EventStream, Session}
 class StreamingSpec extends SparkSpec {
 
   private def ckpt(): String =
-    Files.createTempDirectory("graft-ckpt").toString
+    graft.core.TempDirs.create("graft-ckpt")
 
   test("streaming word count matches batch on the same lines") {
     import spark.implicits._
@@ -51,7 +51,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source streaming word count over reference chunks") {
     import org.apache.spark.sql.functions.col
-    val dir = Files.createTempDirectory("graft-stream-in")
+    val dir = graft.core.TempDirs.path("graft-stream-in")
     // seed with two real corpus chunks; the stream picks them up as files
     for (i <- 0 to 1) {
       java.nio.file.Files.copy(
@@ -89,8 +89,8 @@ class StreamingSpec extends SparkSpec {
     // (foreachBatch append, latest batch wins per key) survives the
     // restart, unlike a memory sink.
     import org.apache.spark.sql.DataFrame
-    val srcDir = Files.createTempDirectory("graft-recover-src")
-    val deltaDir = Files.createTempDirectory("graft-recover-delta").toString
+    val srcDir = graft.core.TempDirs.path("graft-recover-src")
+    val deltaDir = graft.core.TempDirs.create("graft-recover-delta")
     val chk = ckpt()
     def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
       val lines = spark.readStream
@@ -136,14 +136,14 @@ class StreamingSpec extends SparkSpec {
     // partner-eviction survive the restart — while (b) a fresh click
     // joining RETAINED error state still pairs, proving recovery kept
     // the live state rather than dropping everything.
-    val srcDir = Files.createTempDirectory("ssj_src").toString
+    val srcDir = graft.core.TempDirs.create("ssj_src")
     val chk = ckpt()
-    val out = Files.createTempDirectory("ssj_out").toString
+    val out = graft.core.TempDirs.create("ssj_out")
     val t0 = 1700000000000000L // micros, ms-aligned
     val minUs = 60L * 1000000
     val hourUs = 60 * minUs
     def write(name: String, mtime: Long, rows: (Long, Long, Long, String)*): Unit = {
-      val scratch = Files.createTempDirectory("ssj_stage").toString
+      val scratch = graft.core.TempDirs.create("ssj_stage")
       rows.toSeq.toDF("event_id", "us", "user_id", "event_type")
         .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
           col("user_id"), col("event_type"))
@@ -237,11 +237,11 @@ class StreamingSpec extends SparkSpec {
     // engine physically evicts OLD's expired state; phase 3 re-sends
     // both keys at a fresh event time. OLD must be READMITTED (state
     // gone), NEW must be dropped as the duplicate it is.
-    val src = java.nio.file.Files.createTempDirectory("ddw_src").toString
+    val src = graft.core.TempDirs.create("ddw_src")
     val t0 = 1700000000000000L // micros, ms-aligned
     val hourUs = 3600L * 1000000
     def write(name: String, mtime: Long, rows: (Long, Long)*): Unit = {
-      val scratch = java.nio.file.Files.createTempDirectory("ddw_stage").toString
+      val scratch = graft.core.TempDirs.create("ddw_stage")
       rows.toSeq.toDF("k", "us")
         .select(col("k"), timestamp_micros(col("us")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(scratch)
@@ -306,7 +306,7 @@ class StreamingSpec extends SparkSpec {
     // counts). Two crafted fixtures, one per boundary direction.
     val gapUs = 30L * 60 * 1000000
     def emittedUsers(rows: Seq[(Long, Long)]): Set[Long] = {
-      val src = java.nio.file.Files.createTempDirectory("swb_src").toString
+      val src = graft.core.TempDirs.create("swb_src")
       rows.toDF("user_id", "us")
         .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(src)
