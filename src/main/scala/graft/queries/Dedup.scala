@@ -633,6 +633,48 @@ object Dedup extends QueryModule {
         .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** Chain length for [[ddClusterChain]]'s pathological fixture —
+    * diameter 31 ≫ [[MaxPropagationRounds]], so min-label propagation
+    * is GUARANTEED to abandon and the star-contraction fallback is the
+    * code path under the oracle's hash.
+    */
+  private[graft] val ChainBlock = 32
+
+  /** Deterministic chain-shaped near-dup pairs over the corpus: doc i
+    * pairs with doc i+1 except across [[ChainBlock]] boundaries —
+    * consecutive runs of diameter [[ChainBlock]]−1 (doc_ids are dense
+    * 0..N−1 in this corpus, asserted by the oracle's row counts). Built
+    * as a self-equi-join on doc_id+1, no window, no global sort.
+    */
+  private[graft] def chainPairs(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id").as("doc_a"))
+    val b = docs.select(col("doc_id").as("doc_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .where(col("doc_a") % ChainBlock =!= (ChainBlock - 1))
+  }
+
+  /** Cluster formation on the CHAIN pathology, under the driver's hash
+    * gate — the input real near-dup corpora never produce (quasi-clique
+    * components converge in 2-3 propagation rounds) but boilerplate
+    * chains can (A ≈ B ≈ C pairwise, never transitively identical).
+    * [[chainPairs]] makes every component a path of diameter
+    * [[ChainBlock]]−1 > [[MaxPropagationRounds]], so [[clusterPairs]]
+    * provably abandons propagation and the [[starLabels]] large-star/
+    * small-star contraction produces the labeling being hashed
+    * (ClusterChainSpec additionally asserts the propagation path alone
+    * does NOT converge on this fixture). The oracle replays the
+    * expected components in closed form: dense ids make each chain's
+    * minimum `doc_id − doc_id % block`.
+    */
+  def ddClusterChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select("doc_id")
+    docs
+      .join(clusterPairs(chainPairs(docs)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup POLICY step — what a pipeline actually DOES with the
     * clusters: per near-dup cluster ([[ddCluster]]), keep the
     * highest-quality member ([[graft.queries.TextAnalysis.taQuality]]'s
@@ -788,6 +830,7 @@ object Dedup extends QueryModule {
     "dd_split" -> (ddSplit _),
     "dd_contam" -> (ddContam _),
     "dd_cluster" -> (ddCluster _),
+    "dd_cluster_chain" -> (ddClusterChain _),
     "dd_exact" -> (ddExact _),
     "dd_incremental" -> (ddIncremental _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -950,6 +993,11 @@ object Dedup extends QueryModule {
     "dd_cluster" ->
       s"""$clusterCte
          |SELECT doc_id, cluster_id FROM c ORDER BY doc_id""".stripMargin,
+    // closed-form components of the chain fixture: dense doc_ids make
+    // each run-of-32 chain's minimum doc_id - doc_id % 32
+    "dd_cluster_chain" ->
+      """SELECT doc_id, doc_id - doc_id % 32 AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the cluster closure LEFT-joined to the corpus; split decided by
     // the identical hex-coin thresholds on the cluster-canonical key
     "dd_split" ->

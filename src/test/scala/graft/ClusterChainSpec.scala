@@ -69,6 +69,21 @@ class ClusterChainSpec extends SparkSpec {
     assert(labelsOf(Dedup.starLabels(pairs)._1) === expected)
   }
 
+  test("dd_cluster_chain's fixture genuinely defeats propagation") {
+    // the driver-gate row only hash-checks the labels; this pins the
+    // CODE PATH claim — on the chain fixture, min-label propagation
+    // does NOT converge within the budget, so the star fallback is
+    // what produced the oracled answer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    val pairs = Dedup.chainPairs(docs)
+    val (labels, _) = Dedup.propagateLabels(pairs, Dedup.MaxPropagationRounds)
+    assert(labels.isEmpty, "propagation converged — the fixture is not a pathology")
+    // and the fallback's labeling is the closed form the oracle replays
+    val got = labelsOf(Dedup.starLabels(pairs)._1)
+    assert(got === (0L until 500L).map(d => d -> (d - d % Dedup.ChainBlock)).toMap)
+  }
+
   test("clusterPairs still takes the propagation path on quasi-cliques") {
     // two disjoint triangles: diameter 1, converges in round 1
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
