@@ -379,14 +379,16 @@ object Dedup extends QueryModule {
     */
   private val EmbedDims = 64
   private val LshBands = 24
-  private val LshRowsPerBand = 8
+  private[graft] val LshRowsPerBand = 8
   private val LshBits = LshBands * LshRowsPerBand
 
   /** Bits-per-band for n vectors: ⌈log₂ n⌉ keeps EXPECTED random
     * collisions per band at ~n (n²/2^r ≤ n), the linear-cost operating
     * point; add bands to buy recall back. The oracled [[ddEmbedLsh]]
     * uses the fixed r=8/B=24 (static oracle SQL can't depend on runtime
-    * n — and r=8 IS this rule's output for the 500-row gate corpus); a
+    * n; the rule says r=9 at the 500-row gate — the one bit of
+    * collision headroom is deliberately traded to keep the inlined
+    * hyperplane table at 192 literals, see [[graft.ScaleConfig]]); a
     * production pipeline calls this with its corpus size.
     */
   def lshRowsForN(n: Long): Int =

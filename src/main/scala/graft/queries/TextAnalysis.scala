@@ -352,6 +352,9 @@ object TextAnalysis extends QueryModule {
   def seqPackShardsForN(n: Long): Int =
     math.max(8L, (n + 65535L) / 65536L).toInt
 
+  /** The rule's floor — the shard count the oracled gate query bakes in. */
+  private[graft] val GateSeqPackShards = 8
+
   /** Deterministic SEQUENCE PACKING — the pretraining step that
     * assigns documents to fixed-budget training sequences: docs are
     * sharded (doc_id mod shards), ordered within the shard, and each
@@ -365,7 +368,7 @@ object TextAnalysis extends QueryModule {
     * manifest consumes.
     */
   def taSeqPack(s: SparkSession, dir: String): DataFrame =
-    seqPack(docs(s, dir), shards = 8)
+    seqPack(docs(s, dir), shards = GateSeqPackShards)
 
   /** Core of [[taSeqPack]], shard-count parameterized so the scale rule
     * is exercisable ([[seqPackShardsForN]]; SeqPackSpec asserts the

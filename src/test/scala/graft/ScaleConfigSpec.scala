@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Dedup
+
+/** The n-adaptive story, auditable in one place: at the gate corpus
+  * size every oracle-pinned constant equals its sizing rule's output —
+  * except the one documented embed-LSH divergence — and the rules keep
+  * their growth shape at production scales. No SparkSession needed:
+  * these are pure arithmetic.
+  */
+class ScaleConfigSpec extends AnyFunSuite {
+
+  test("gate constants equal the rules' outputs at the gate corpus size") {
+    val rule = ScaleConfig.forCorpus(ScaleConfig.GateN)
+    val gate = ScaleConfig.gate
+    assert(gate.minhashRowsPerBand === rule.minhashRowsPerBand)
+    assert(gate.minhashBands === rule.minhashBands)
+    assert(gate.minhashHashes === rule.minhashHashes)
+    assert(gate.ivfBits === rule.ivfBits)
+    assert(gate.ivfCells === rule.ivfCells)
+    assert(gate.seqPackShards === rule.seqPackShards)
+    // the ONE deliberate divergence: the oracled embed-LSH pins r=8
+    // (192 inlined hyperplane literals) where the rule says 9 — pinned
+    // here so the gap can never silently widen
+    assert(rule.embedLshRowsPerBand === 9)
+    assert(gate.embedLshRowsPerBand === 8)
+  }
+
+  test("rules keep their documented shape at production scales") {
+    val m = ScaleConfig.forCorpus(1000000000L) // 10^9 docs/vectors
+    assert(m.minhashRowsPerBand === 6 && m.minhashBands === 64)
+    assert(m.ivfBits === 15 && m.ivfCells === 32768)
+    assert(m.embedLshRowsPerBand === 30)
+    assert(m.seqPackShards === 15259)
+    // monotone non-decreasing in n, for every knob
+    val ns = Seq(500L, 10000L, 1000000L, 100000000L, 10000000000L)
+    val rs = ns.map(ScaleConfig.forCorpus)
+    def mono(f: ScaleConfig.Resolved => Int) =
+      rs.map(f).sliding(2).forall(w => w(0) <= w(1))
+    assert(mono(_.minhashHashes) && mono(_.embedLshRowsPerBand) &&
+      mono(_.ivfBits) && mono(_.seqPackShards))
+  }
+
+  test("the gate minhash constants stay internally consistent") {
+    assert(Dedup.Bands === Dedup.minhashBandsForR(Dedup.BandRows))
+    assert(Dedup.NumHashes === Dedup.BandRows * Dedup.Bands)
+  }
+}
