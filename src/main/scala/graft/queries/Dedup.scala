@@ -378,7 +378,7 @@ object Dedup extends QueryModule {
     * dot (and the row drops at the threshold filter) rather than erring.
     */
   private val EmbedDims = 64
-  private val LshBands = 24
+  private[graft] val LshBands = 24
   private[graft] val LshRowsPerBand = 8
   private val LshBits = LshBands * LshRowsPerBand
 
@@ -404,8 +404,14 @@ object Dedup extends QueryModule {
       .digest(s"hp|$bit|$dim".getBytes("UTF-8"))
     if ((h(0) & 0xff) >= 0x80) 1f else -1f
   }
-  private val hyperplanes: IndexedSeq[Seq[Float]] =
-    (0 until LshBits).map(b => (0 until EmbedDims).map(d => hpWeight(b, d)))
+  /** Generalized hyperplane table: bit b's weights depend only on
+    * (b, dim), so the r=8/B=24 gate table IS the 192-bit prefix of any
+    * wider rule-resolved table — the gate config and the scale config
+    * share their leading hyperplanes by construction.
+    */
+  private def hyperplanesFor(bits: Int): IndexedSeq[Seq[Float]] =
+    (0 until bits).map(b => (0 until EmbedDims).map(d => hpWeight(b, d)))
+  private val hyperplanes: IndexedSeq[Seq[Float]] = hyperplanesFor(LshBits)
 
   /** Embedding near-dup via random-hyperplane LSH — the 100 TB shape.
     *
@@ -435,23 +441,36 @@ object Dedup extends QueryModule {
   /** One-pass fused signature: all [[LshBits]] accumulators over a single
     * traversal of the embedding ([[graft.functions.HyperplaneSig]]).
     */
-  private[graft] def fusedSig: Column = {
+  private[graft] def fusedSigFor(bits: Int): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(graft.functions.HyperplaneSig(
-      Bridge.expression(col("embedding")), LshBits, EmbedDims,
-      hyperplanes.flatten.toArray))
+      Bridge.expression(col("embedding")), bits, EmbedDims,
+      hyperplanesFor(bits).flatten.toArray))
   }
+  private[graft] def fusedSig: Column = fusedSigFor(LshBits)
 
-  def ddEmbedLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.core.FanOut(Tables(s, dir).embeddings)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val sig = e.select(col("vec_id"), fusedSig.as("sig"))
-    val bands = sig.select(
+  /** [[ddEmbedLsh]]'s whole pipeline with the banding PARAMETERIZED —
+    * the [[splitThresholds]]/[[TextAnalysis.seqPackShardsForN]] pattern
+    * applied to the one config whose fixed gate value has a measured
+    * quadratic wall: at 200 k diverse vectors, r=8 means n²/2⁸ ≈ 150 n
+    * chance collisions per band × 24 bands (observed: a 69 GB candidate
+    * shuffle that exhausts local disk — BENCH_NOTES round-6 study).
+    * A production run passes r = [[lshRowsForN]](n) (and any band
+    * count); the oracled [[ddEmbedLsh]] keeps the r=8/B=24 gate config
+    * that its 192-literal oracle SQL replays. [[graft.ScaleStudy]]
+    * drives this rule-resolved path for the scale benchmarks.
+    */
+  private[graft] def embedLshPairs(
+      e0: DataFrame, rowsPerBand: Int, bands: Int): DataFrame = {
+    val bits = rowsPerBand * bands
+    val e = e0.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val sig = e.select(col("vec_id"), fusedSigFor(bits).as("sig"))
+    val bandRows = sig.select(
       col("vec_id"),
-      explode(array((0 until LshBands).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band_idx"),
-          substring(col("sig"), b * LshRowsPerBand + 1, LshRowsPerBand).as("band_val"))): _*)).as("band"))
+          substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("band_val"))): _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_val"))
       // persist + eager count: both candidate self-join branches read
       // this (n·Bands tiny rows); settling it once halves the signature
@@ -459,8 +478,8 @@ object Dedup extends QueryModule {
       // barrier rationale as ngramJaccard. Released before return —
       // see [[settled]].
       .persist()
-    bands.count()
-    val bandsKeyed = bands
+    bandRows.count()
+    val bandsKeyed = bandRows
       // shuffle on the band key, never broadcast-collect a signature table
       .hint("shuffle_hash")
     val cand = bandsKeyed.as("x").join(bandsKeyed.as("y"),
@@ -477,8 +496,94 @@ object Dedup extends QueryModule {
         .where(col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b"),
-      bands)
+      bandRows)
   }
+
+  def ddEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    embedLshPairs(graft.core.FanOut(Tables(s, dir).embeddings),
+      LshRowsPerBand, LshBands)
+
+  // ---- SemDeDup: centroid-cell-blocked semantic dedup ----
+
+  /** Gate config for [[ddSemdedup]]: same k/iteration budget as
+    * [[Similarity.simKmeansIvf]] (k ≈ √n at test scale), same 0.35
+    * cosine threshold as [[ddEmbedNear]]/[[ddEmbedLsh]] so all three
+    * embedding-dedup paths share one operating point.
+    */
+  private[graft] val SemdedupK = 16
+  private[graft] val SemdedupIters = 3
+  private[graft] val SemdedupThreshold = 0.35
+
+  /** Where [[ddSemdedup]] persists its trained centroids — per-run
+    * unique, interpolated into the oracle SQL below, and deliberately
+    * NOT routed through [[graft.core.TempDirs]]: the DuckDB oracle
+    * replays these files AFTER this JVM exits (same contract as
+    * [[Similarity.KmeansCentroidDir]]).
+    */
+  private[graft] lazy val SemdedupCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_semdedup_centroids_").toString
+
+  /** Core of [[ddSemdedup]], parameterized on the vector set and the
+    * centroid sink so SemdedupSpec can run it on a crafted fixture
+    * against its own scratch dir.
+    */
+  private[graft] def semdedup(vectors: DataFrame, centroidDir: String): DataFrame = {
+    val e = vectors
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    KmeansIvf.train(e.select(col("vec_id"), col("embedding")),
+        SemdedupK, SemdedupIters)
+      .write.mode("overwrite").parquet(centroidDir)
+    // read BACK so assignment provably uses the persisted table the
+    // oracle will read — not a diverging in-memory lineage
+    val trained = vectors.sparkSession.read.parquet(centroidDir)
+    // persist: the assignment feeds both pair-join branches AND the
+    // final keep/drop projection — without it the k-distance argmin
+    // re-runs three times. Released before return — see [[settled]].
+    val assigned = KmeansIvf
+      .assignCells(e.select(col("vec_id"), col("embedding")), trained)
+      .join(e.select(col("vec_id"), col("norm")), Seq("vec_id"))
+      .persist()
+    assigned.count()
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= SemdedupThreshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    settled(
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .withColumn("kept", col("__dropped").isNull)
+        .select("vec_id", "cell", "kept")
+        .orderBy("vec_id"),
+      assigned)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by
+    * k-means-cell blocking — cluster the embedding space, then compare
+    * pairs only WITHIN each Voronoi cell and keep the first (lowest-id)
+    * member of every similar group. The production answer to
+    * [[ddEmbedNear]]'s O(n²) all-pairs: the trained centroid table
+    * (k rows, broadcast) assigns every vector a cell with one map-side
+    * argmin pass, the pair join is an EQUI-join on the cell id — cost
+    * Σ|cell|², bounded because k grows with n (cells ≈ √n, the
+    * [[Similarity.ivfBitsForN]] discipline) — and the keep/drop rule is
+    * one aggregate over the surviving pairs, no iterative clustering.
+    * Training + assignment + pairing + the greedy first-occurrence-wins
+    * rule all run under the oracle: DuckDB replays argmin assignment
+    * over the persisted centroids the engine trained (identical
+    * ‖v‖²−2v·c+‖c‖² arithmetic, lowest-cid ties), the within-cell
+    * rounded-cosine pairs, and the drop set.
+    */
+  def ddSemdedup(s: SparkSession, dir: String): DataFrame =
+    semdedup(graft.core.FanOut(Tables(s, dir).embeddings)
+      .select(col("vec_id"), col("embedding")), SemdedupCentroidDir)
 
   /** Connected components over an undirected pair list — the cluster-
     * formation step a dedup pipeline runs AFTER pair generation, turning
@@ -840,6 +945,7 @@ object Dedup extends QueryModule {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_lsh" -> (ddEmbedLsh _),
+    "dd_semdedup" -> (ddSemdedup _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1120,5 +1226,36 @@ object Dedup extends QueryModule {
          |SELECT vec_a, vec_b, cosine FROM p
          |WHERE cosine >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // Replays the FULL SemDeDup pipeline over the centroids the engine
+    // trained and persisted: argmin-distance cell assignment (identical
+    // ‖v‖²−2v·c+‖c‖² double arithmetic, lowest-cid ties — same replay as
+    // sim_kmeans_ivf), within-cell rounded-cosine pairs, and the greedy
+    // first-occurrence-wins drop set.
+    "dd_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT cid, centroid
+         |  FROM read_parquet('$SemdedupCentroidDir/*.parquet')),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, cent.cid,
+         |    ${embDotSql("embedding", "embedding")}
+         |      - 2.0 * ${embDotSql("embedding", "centroid")}
+         |      + ${embDotSql("centroid", "centroid")} AS d2
+         |  FROM embeddings e CROSS JOIN cent),
+         |rk AS (
+         |  SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+         |  FROM d),
+         |asg AS (SELECT cid AS cell, vec_id, embedding FROM rk WHERE crank = 1),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${embDotSql("a.embedding", "b.embedding")}
+         |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
+         |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= $SemdedupThreshold)
+         |SELECT asg.vec_id, asg.cell, (dropped.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
   )
 }

@@ -322,6 +322,115 @@ object TextAnalysis extends QueryModule {
           .otherwise(0.0), 6))
       .orderBy("doc_id")
 
+  /** Union stopword hit-set for the Gopher-style filter's "contains at
+    * least 2 stopwords" rule — language-agnostic on purpose: the rule
+    * screens for natural-language prose, it does not identify WHICH
+    * language (that's [[taLangId]]'s job).
+    */
+  private[graft] val GopherStopwords: Seq[String] =
+    Seq("en", "de", "fr", "es").flatMap(stopwords).distinct
+
+  // Gopher/MassiveText-style rule thresholds (Rae et al. 2021, table A1
+  // shape — bounds re-tuned to this corpus's token statistics so each
+  // rule actually discriminates at gate scale; GopherQualitySpec pins
+  // per-rule behavior on a crafted fixture regardless of corpus)
+  private[graft] val GopherMinTokens = 40
+  private[graft] val GopherMaxTokens = 90
+  private[graft] val GopherMinWordLen = 3.5
+  private[graft] val GopherMaxWordLen = 4.5
+  private[graft] val GopherMinStopHits = 2
+  private[graft] val GopherMaxDupRatio = 0.55
+  private[graft] val GopherMaxSymbolRatio = 0.1
+
+  /** Per-document rule evaluation for [[taGopherQuality]] — factored out
+    * so the spec can run the rules on a crafted fixture. One staged
+    * token array + the one-pass [[graft.functions.RepSig]] kernel; every
+    * rule is a pure per-row comparison on exact integer/explicit-double
+    * operands, so both engines decide each rule identically.
+    */
+  private[graft] def gopherRules(d: DataFrame): DataFrame =
+    d.select(col("lang"), col("doc_id"),
+        graft.functions.RepSig.of(col("text")).as("__r"),
+        filter(toks, t => t =!= "").as("__w"),
+        length(regexp_replace(col("text"), " ", "")).as("__letters"))
+      .select(col("lang"), col("doc_id"),
+        col("__r.n_tokens").as("n_tokens"),
+        (col("__r.n_tokens") >= GopherMinTokens &&
+          col("__r.n_tokens") <= GopherMaxTokens).as("ok_len"),
+        (col("__letters").cast("double") / col("__r.n_tokens") >= GopherMinWordLen &&
+          col("__letters").cast("double") / col("__r.n_tokens") <= GopherMaxWordLen)
+          .as("ok_wordlen"),
+        (size(filter(col("__w"),
+          t => t.isin(GopherStopwords.map(x => x: Any): _*))) >= GopherMinStopHits)
+          .as("ok_stopword"),
+        ((col("__r.n_tokens") - col("__r.n_distinct")).cast("double") <=
+          lit(GopherMaxDupRatio) * col("__r.n_tokens")).as("ok_dup"),
+        (size(filter(col("__w"), t => t.rlike("[^a-z0-9]"))).cast("double") <=
+          lit(GopherMaxSymbolRatio) * col("__r.n_tokens")).as("ok_symbol"))
+
+  /** Gopher-style quality-rule FILTER — the multi-rule document gate a
+    * pretraining pipeline runs before dedup (cf. Gopher/MassiveText,
+    * Rae et al. 2021): token-count bounds, mean-word-length window,
+    * minimum stopword hits, duplicate-token-ratio cap, and symbol-ratio
+    * cap, reported as the per-language rejection manifest (how many
+    * docs each rule rejects, what survives, and the surviving token
+    * budget). All five rules are per-row expression work fused over one
+    * scan + one low-cardinality aggregate — scan speed at 100 TB, same
+    * shape as [[taMixture]]. The symbol rule cannot fire on this
+    * synthetic corpus (generator vocabulary is [a-z0-9]+) — declared,
+    * and pinned non-vacuously by GopherQualitySpec's crafted fixture.
+    */
+  def taGopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherRules(docs(s, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("ok_len"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!col("ok_wordlen"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("ok_stopword"), 1L).otherwise(0L)).as("fail_stopword"),
+        sum(when(!col("ok_dup"), 1L).otherwise(0L)).as("fail_dup"),
+        sum(when(!col("ok_symbol"), 1L).otherwise(0L)).as("fail_symbol"),
+        sum(when(col("ok_len") && col("ok_wordlen") && col("ok_stopword") &&
+          col("ok_dup") && col("ok_symbol"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ok_len") && col("ok_wordlen") && col("ok_stopword") &&
+          col("ok_dup") && col("ok_symbol"), col("n_tokens").cast("long"))
+          .otherwise(0L)).as("tokens_kept"))
+      .orderBy("lang")
+
+  /** Shard count for the deterministic global shuffle (8 = gate config;
+    * a production run sizes this like [[seqPackShardsForN]] — shards ≈
+    * corpus / target-shard-rows — the shard id arithmetic below is
+    * width-agnostic).
+    */
+  private[graft] val ShuffleShards = 8
+
+  /** Deterministic GLOBAL SHUFFLE into training shards — the "shuffle
+    * the corpus before sharding" step every pretraining loader needs,
+    * expressed as a distributed RANGE PARTITION of an md5-coin space
+    * rather than a single global sort: shard = the top 3 bits of the
+    * 32-bit coin (so shard k holds the k-th contiguous coin range) and
+    * `pos` orders within the shard — reading shard 0..S−1 each in pos
+    * order replays the exact coin-ordered permutation of the corpus
+    * (the permutation property ShuffleShardSpec asserts against an
+    * independent Java-MD5 recomputation). One exchange on the shard
+    * key + one in-partition sort; no stage ever holds more than one
+    * shard's rows, which is what makes the permutation computable at
+    * 100 TB where an ORDER BY over the corpus is not. Same md5-coin
+    * determinism contract as [[taSample]]: any cluster, any partition
+    * layout, any retry produces the identical permutation.
+    */
+  def taShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val coin = substring(md5(concat(lit("graft-shuf-1|"), col("doc_id"))), 1, 8)
+    val w = Window.partitionBy("shard").orderBy("coin", "doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), coin.as("coin"))
+      // 2^32 coin space over 8 shards: shard = coin >> 29
+      .withColumn("shard",
+        shiftright(conv(col("coin"), 16, 10).cast("long"), 29).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select("shard", "pos", "doc_id", "coin")
+      .orderBy("shard", "pos")
+  }
+
   /** Positional token fan-out (posexplode) — the generator/UDTF shape:
     * one output row per (doc, position, token), the layout a token-level
     * labeling or n-gram indexing stage consumes. Sampled to 1% of docs
@@ -414,6 +523,8 @@ object TextAnalysis extends QueryModule {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_gopher_quality" -> (taGopherQuality _),
+    "ta_shuffle_shard" -> (taShuffleShard _),
     "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
@@ -434,7 +545,60 @@ object TextAnalysis extends QueryModule {
   private def inList(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The Gopher stopword hit-set as a SQL IN list. */
+  private def gopherInList: String =
+    GopherStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
   val oracles: Map[String, String] = Map(
+    // rule thresholds interpolated from the same constants the Spark
+    // side compares against; every rule is exact-int / explicit-double
+    // arithmetic so both engines decide each document identically
+    "ta_gopher_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         |    length(replace(text, ' ', '')) AS n_letters
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, CAST(len(w) AS INTEGER) AS n_tokens,
+         |    (len(w) BETWEEN $GopherMinTokens AND $GopherMaxTokens) AS ok_len,
+         |    (n_letters::DOUBLE / len(w) >= $GopherMinWordLen
+         |      AND n_letters::DOUBLE / len(w) <= $GopherMaxWordLen) AS ok_wordlen,
+         |    (len(list_filter(w, x -> x IN $gopherInList)) >= $GopherMinStopHits) AS ok_stopword,
+         |    (len(w) - len(list_distinct(w)) <= $GopherMaxDupRatio * len(w)) AS ok_dup,
+         |    (len(list_filter(w, x -> regexp_matches(x, '[^a-z0-9]')))
+         |      <= $GopherMaxSymbolRatio * len(w)) AS ok_symbol
+         |  FROM t)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+         |  CAST(sum(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+         |  CAST(sum(CASE WHEN NOT ok_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+         |  CAST(sum(CASE WHEN NOT ok_dup THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup,
+         |  CAST(sum(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+         |  CAST(sum(CASE WHEN ok_len AND ok_wordlen AND ok_stopword AND ok_dup
+         |    AND ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN ok_len AND ok_wordlen AND ok_stopword AND ok_dup
+         |    AND ok_symbol THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // hex coin folded to a BIGINT digit-by-digit (DuckDB has no conv());
+    // 2^32 / 8 shards = 536870912-wide contiguous coin ranges
+    "ta_shuffle_shard" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    substr(md5('graft-shuf-1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, coin,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(coin, ''),
+        |        ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
+        |      (acc, d) -> acc * 16 + d) AS coin_num
+        |  FROM c)
+        |SELECT CAST(coin_num // 536870912 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY coin_num // 536870912
+        |    ORDER BY coin, doc_id) AS INTEGER) AS pos,
+        |  doc_id, coin
+        |FROM n ORDER BY shard, pos""".stripMargin,
     // bigrams via 1-indexed range(1, len) — i = 1..len-1 pairs w[i]
     // with w[i+1]; len<2 yields an empty range, no CASE needed
     "ta_ngram_top" ->

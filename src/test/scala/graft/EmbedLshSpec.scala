@@ -58,6 +58,33 @@ class EmbedLshSpec extends SparkSpec {
     }
   }
 
+  test("rule-resolved banding: sound pairs, fewer chance candidates, same join shape") {
+    import graft.queries.Dedup
+    // exact truth at 500 vectors (same derivation as the recall test)
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.dotBuiltin(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(Similarity.dotBuiltin(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= 0.35)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = embeddings.count()
+    val r = Dedup.lshRowsForN(n) // 9 at the 500-vector gate corpus
+    val ruled = Dedup.embedLshPairs(embeddings, r, Dedup.LshBands)
+    // output contract: sound subset of the exact pairs, non-empty
+    val pairs = ruled.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs.nonEmpty, "rule-resolved banding found no pairs at gate scale")
+    assert(pairs.subsetOf(exact), s"non-pairs: ${pairs -- exact}")
+    // plan contract: same equi-join shape as the gate config
+    val p = ruled.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache()
+  }
+
   test("dd_embed_lsh: candidates from an equi-join — no cartesian/nested-loop anywhere") {
     val p = SparkEntry.queries("dd_embed_lsh")(spark, sfDir)
       .queryExecution.executedPlan.toString
