@@ -237,4 +237,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"),
       s"quantization must be pure projection, no aggregate:\n$p")
   }
+
+  test("ta_gopher_quality: per-row rules, ONE lang-keyed aggregate exchange, no join") {
+    val p = plan("ta_gopher_quality")
+    // all five rules are per-row expressions folded into the scan
+    // projection; the manifest is one partial/final aggregate on lang
+    val exchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE lang-keyed exchange:\n$p")
+    assert(!p.contains("Join"), s"rule evaluation must not join:\n$p")
+  }
+
+  test("ta_shuffle_shard: one shard-keyed exchange feeds the in-partition position sort") {
+    val p = plan("ta_shuffle_shard")
+    // the global permutation is range-partition + in-partition sort:
+    // exactly one hash exchange (the shard key) and the position window;
+    // a global ORDER BY over the coin would be a rangepartitioning-only
+    // plan with no shard exchange — the shape that dies at 100 TB
+    val exchanges = "Exchange hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE shard-keyed exchange:\n$p")
+    assert(p.contains("Window"), s"per-shard position must be a window:\n$p")
+    assert(!p.contains("Join"), s"shuffle-shard must not join:\n$p")
+  }
+
+  test("dd_semdedup: assignment computed once (cached), joins keyed on cell/vec_id only") {
+    val p = plan("dd_semdedup")
+    // the persisted assignment feeds the pair join's both branches and
+    // the final keep/drop projection — the plan must read the cache,
+    // not re-run the centroid argmin per branch
+    assert(p.contains("InMemoryTableScan"),
+      s"assignment should be read from cache:\n$p")
+    // pair generation is an equi-join on the CELL key; drop-marking is
+    // a vec_id left join — nothing vector-shaped, no cartesian
+    val smj = "SortMergeJoin \\[([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(smj.forall(k => k == "cell" || k == "vec_id"),
+      s"every merge join must key on cell or vec_id, got $smj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
 }
