@@ -15,10 +15,10 @@ import graft.queries.{Dedup, Similarity, TextAnalysis}
   *
   * Resolved examples (ScaleConfigSpec pins the first and last):
   *
-  *   n        minhash r×B   lsh r   ivf bits (cells)   seqpack shards
-  *   500      2×4           9       8 (256)            8
-  *   10⁶      2×4(→4×16)    20      10 (1 024)         16
-  *   10⁹      6×64          30      15 (32 768)        15 259
+  *   n        minhash r×B   lsh r   ivf bits (cells)   kmeans cells   seqpack shards
+  *   500      2×4           9       8 (256)            16             8
+  *   10⁶      2×4(→4×16)    20      10 (1 024)         512            16
+  *   10⁹      6×64          30      15 (32 768)        16 384         15 259
   *
   * Gate discipline: the driver's oracle SQL is static, so the oracled
   * queries bake in the rules' outputs AT THE GATE CORPUS (n = 500) —
@@ -40,6 +40,7 @@ object ScaleConfig {
       embedLshRowsPerBand: Int,
       ivfBits: Int,
       ivfCells: Int,
+      kmeansCells: Int,
       seqPackShards: Int)
 
   def forCorpus(n: Long): Resolved = {
@@ -53,6 +54,7 @@ object ScaleConfig {
       embedLshRowsPerBand = Dedup.lshRowsForN(n),
       ivfBits = bits,
       ivfCells = 1 << bits,
+      kmeansCells = Similarity.kmeansCellsForN(n),
       seqPackShards = TextAnalysis.seqPackShardsForN(n))
   }
 
@@ -69,5 +71,6 @@ object ScaleConfig {
     embedLshRowsPerBand = Dedup.LshRowsPerBand,
     ivfBits = Similarity.BucketDims,
     ivfCells = 1 << Similarity.BucketDims,
+    kmeansCells = Similarity.KmeansK,
     seqPackShards = TextAnalysis.GateSeqPackShards)
 }

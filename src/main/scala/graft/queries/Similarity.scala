@@ -138,9 +138,22 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** k-means cell count for the learned-quantizer paths
+    * ([[simKmeansIvf]] and [[Dedup.ddSemdedup]]): cells ≈ √n keeps
+    * BOTH the per-cell scan (n/k) and the assignment loop (k) at √n —
+    * the [[ivfBitsForN]] discipline applied to a learned quantizer —
+    * snapped DOWN to a power of two (so cell ids pack into bit ranges)
+    * and floored at the gate's 16. kmeansCellsForN(500) = 16 =
+    * [[KmeansK]]; 10⁶ → 512; 10⁹ → 16 384 (ScaleConfigSpec pins all
+    * three).
+    */
+  def kmeansCellsForN(n: Long): Int = {
+    val sqrtN = math.sqrt(n.toDouble.max(1.0)).toInt
+    math.max(16, Integer.highestOneBit(math.max(sqrtN, 1)))
+  }
+
   /** Oracled gate config for [[simKmeansIvf]]. k=16 cells on the test
-    * corpus (the √n rule of [[ivfBitsForN]] applied to a learned
-    * quantizer would pick cells ≈ √n at scale); 3 Lloyd iterations is
+    * corpus (= [[kmeansCellsForN]] at the gate n); 3 Lloyd iterations is
     * where KmeansIvfSpec's recall curve flattens; 3 probes matches the
     * probe budget the spec measures against the sign quantizer.
     */

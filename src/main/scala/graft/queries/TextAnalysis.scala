@@ -431,6 +431,97 @@ object TextAnalysis extends QueryModule {
       .orderBy("shard", "pos")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document under a language model TRAINED ON THE CORPUS
+    * ITSELF, then split the corpus into head/middle/tail thirds by
+    * score — the standard quality-stratification step before sampling a
+    * pretraining mixture. The LM is an add-one-smoothed bigram model;
+    * the per-bigram cost is the INTEGER surprisal
+    *
+    *   s(v,w) = bitlen(c(v)+V) − bitlen(c(v,w)+1)
+    *          = ⌊log₂(c(v)+V)⌋ − ⌊log₂(c(v,w)+1)⌋  ∈  log₂ 1/p ± 1
+    *
+    * (bitlen via `length(bin(n))` — exact integer-string arithmetic in
+    * both engines) rather than a float ln: this repo's oracle contract
+    * keeps every operand exactly reproducible across engines, and libm
+    * ln is the one transcendental whose last ulp differs between
+    * platforms. A doc's score is mean surprisal in bits (one exact
+    * integer sum / one exact division); tertile thresholds come from a
+    * HISTOGRAM of 0.01-bit score bins — binned via floor(score·100),
+    * NOT round(score, 2): both engines hold bit-identical score doubles
+    * (exact integer operands, one division), and floor of the same
+    * double is engine-exact, whereas round()'s decimal-string semantics
+    * differ (Spark rounds the shortest round-trip representation,
+    * DuckDB the binary value — a mean surprisal like 179/40 = 4.475
+    * IS an exact .xx5 decimal and splits them). The histogram is one
+    * tiny single-partition cumulative window over ≤ a few hundred
+    * integer bins, never a global sort
+    * of the corpus (the scale difference between quantile-by-histogram
+    * and ORDER BY at 100 TB). Plan: two token-keyed count aggregates
+    * (the LM), one bigram-keyed equi-join (scoring), one doc-keyed
+    * aggregate, and the broadcast threshold row.
+    */
+  def taPplBucket(s: SparkSession, dir: String): DataFrame =
+    pplBucketCore(docs(s, dir))
+
+  /** Core of [[taPplBucket]] over any (doc_id, text) frame, so
+    * PplBucketSpec can hand-check surprisal arithmetic and threshold
+    * placement on a crafted fixture.
+    */
+  private[graft] def pplBucketCore(d: DataFrame): DataFrame = {
+    val t = d
+      .select(col("doc_id"), filter(toks, x => x =!= "").as("__w"))
+      .where(size(col("__w")) >= 2)
+    // persist: the bigram fan-out feeds LM training AND scoring — one
+    // tokenize pass instead of three. Released after the result
+    // materializes (same settle discipline as Dedup.settled).
+    val big = t.select(col("doc_id"), explode(expr(
+        "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    big.count()
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+    // prefix counts derived from the bigram table: c(v) = Σ_w c(v,w),
+    // so the model is consistent by construction
+    val uc = bc.groupBy("w1").agg(sum(col("cvw")).as("cv"))
+    val vocab = t.select(explode(col("__w")).as("x"))
+      .agg(countDistinct(col("x")).as("v"))
+    val model = bc.join(uc, "w1")
+    // persist: the per-doc scores feed the histogram, the total count,
+    // AND the final bucket projection — without this the bigram scoring
+    // join re-runs three times (and drags the vocab broadcast with it)
+    val scored = big.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(col("cv") + col("v"))) -
+          length(bin(col("cvw") + lit(1)))).as("s"))
+      .groupBy("doc_id")
+      .agg((sum(col("s")).cast("double") / count(lit(1))).as("score"))
+      .persist()
+    scored.count()
+    big.unpersist()
+    val h = scored.groupBy(floor(col("score") * 100).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val cum = h.withColumn("cum",
+      sum(col("n")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val th = cum.crossJoin(broadcast(scored.agg(count(lit(1)).as("tot"))))
+      .agg(
+        min(when(col("cum") >= expr("(tot + 2) div 3"), col("bin"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * tot + 2) div 3"), col("bin"))).as("t2"))
+    val out = scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), round(col("score"), 6).as("ppl_bits"),
+        when(floor(col("score") * 100) <= col("t1"), "head")
+          .when(floor(col("score") * 100) <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+    out.persist().count()
+    scored.unpersist()
+    out
+  }
+
   /** Positional token fan-out (posexplode) — the generator/UDTF shape:
     * one output row per (doc, position, token), the layout a token-level
     * labeling or n-gram indexing stage consumes. Sampled to 1% of docs
@@ -525,6 +616,7 @@ object TextAnalysis extends QueryModule {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_gopher_quality" -> (taGopherQuality _),
     "ta_shuffle_shard" -> (taShuffleShard _),
+    "ta_ppl_bucket" -> (taPplBucket _),
     "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
@@ -599,6 +691,48 @@ object TextAnalysis extends QueryModule {
         |    ORDER BY coin, doc_id) AS INTEGER) AS pos,
         |  doc_id, coin
         |FROM n ORDER BY shard, pos""".stripMargin,
+    // replays the full CCNet pipeline: bigram LM counts, integer
+    // surprisal via length(bin(n)) — exact in both engines — and the
+    // histogram tertile thresholds; (tot+2)//3 = ceil(tot/3) in
+    // integer arithmetic. Bins are floor(score*100) (engine-exact on
+    // the bit-identical score double), NOT round(score,2), whose
+    // decimal-string vs binary semantics split the engines on exact
+    // .xx5 scores — see taPplBucket's Scaladoc
+    "ta_ppl_bucket" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+        |  FROM t),
+        |bc AS (SELECT w1, w2, count(*) AS cvw FROM big GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(sum(cvw) AS BIGINT) AS cv FROM bc GROUP BY w1),
+        |vocab AS (
+        |  SELECT count(DISTINCT x) AS v FROM (SELECT unnest(w) AS x FROM t)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum(length(bin(cv + v)) - length(bin(cvw + 1))) AS DOUBLE)
+        |      / count(*) AS score
+        |  FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+        |  GROUP BY doc_id),
+        |h AS (SELECT CAST(floor(score * 100) AS BIGINT) AS bin, count(*) AS n
+        |  FROM sc GROUP BY 1),
+        |c AS (SELECT bin, sum(n) OVER (ORDER BY bin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |tot AS (SELECT count(*) AS tot FROM sc),
+        |th AS (SELECT
+        |    min(CASE WHEN cum >= (tot + 2) // 3 THEN bin END) AS t1,
+        |    min(CASE WHEN cum >= (2 * tot + 2) // 3 THEN bin END) AS t2
+        |  FROM c CROSS JOIN tot)
+        |SELECT sc.doc_id, round(score, 6) AS ppl_bits,
+        |  CASE WHEN CAST(floor(score * 100) AS BIGINT) <= t1 THEN 'head'
+        |       WHEN CAST(floor(score * 100) AS BIGINT) <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN th
+        |ORDER BY sc.doc_id""".stripMargin,
     // bigrams via 1-indexed range(1, len) — i = 1..len-1 pairs w[i]
     // with w[i+1]; len<2 yields an empty range, no CASE needed
     "ta_ngram_top" ->

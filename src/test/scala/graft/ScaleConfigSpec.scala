@@ -20,7 +20,10 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(gate.minhashHashes === rule.minhashHashes)
     assert(gate.ivfBits === rule.ivfBits)
     assert(gate.ivfCells === rule.ivfCells)
+    assert(gate.kmeansCells === rule.kmeansCells)
     assert(gate.seqPackShards === rule.seqPackShards)
+    // SemDeDup shares the learned-quantizer operating point
+    assert(Dedup.SemdedupK === graft.queries.Similarity.KmeansK)
     // the ONE deliberate divergence: the oracled embed-LSH pins r=8
     // (192 inlined hyperplane literals) where the rule says 9 — pinned
     // here so the gap can never silently widen
@@ -33,6 +36,8 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(m.minhashRowsPerBand === 6 && m.minhashBands === 64)
     assert(m.ivfBits === 15 && m.ivfCells === 32768)
     assert(m.embedLshRowsPerBand === 30)
+    assert(m.kmeansCells === 16384)
+    assert(ScaleConfig.forCorpus(1000000L).kmeansCells === 512)
     assert(m.seqPackShards === 15259)
     // monotone non-decreasing in n, for every knob
     val ns = Seq(500L, 10000L, 1000000L, 100000000L, 10000000000L)
@@ -40,7 +45,7 @@ class ScaleConfigSpec extends AnyFunSuite {
     def mono(f: ScaleConfig.Resolved => Int) =
       rs.map(f).sliding(2).forall(w => w(0) <= w(1))
     assert(mono(_.minhashHashes) && mono(_.embedLshRowsPerBand) &&
-      mono(_.ivfBits) && mono(_.seqPackShards))
+      mono(_.ivfBits) && mono(_.kmeansCells) && mono(_.seqPackShards))
   }
 
   test("the gate minhash constants stay internally consistent") {
