@@ -585,6 +585,64 @@ object Dedup extends QueryModule {
     semdedup(graft.core.FanOut(Tables(s, dir).embeddings)
       .select(col("vec_id"), col("embedding")), SemdedupCentroidDir)
 
+  /** Window width (tokens) for [[ddDupSpans]] — spans shorter than this
+    * are treated as chance collisions; same role as the 50-token
+    * threshold in Lee et al.'s suffix-array dedup, scaled to this
+    * corpus's 40–90-token documents.
+    */
+  private[graft] val DupSpanK = 8
+
+  /** Cross-document duplicated-SPAN detection — the fixed-width-window
+    * form of exact substring dedup (Lee et al. 2021, arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * suffix-array spans ≥ 50 tokens; here every k=[[DupSpanK]]-token
+    * sliding window, which composes to arbitrary-length spans — a
+    * duplicated span of length L ≥ k is exactly L−k+1 duplicated
+    * windows, the property DupSpansSpec pins). Each window ships as the
+    * md5 of its tokens — 16 bytes to the shuffle regardless of text
+    * width — and counts as duplicated when its gram occurs in ≥ 2
+    * DISTINCT documents. Cost is one gram-keyed distinct+aggregate and
+    * one 1:1 equi-join of the window stream against the hot-gram set —
+    * no pair join anywhere, so (unlike the candidate-join families) a
+    * boilerplate gram shared by k docs costs k rows, not k², and needs
+    * no [[PostingCap]]-style guard. Per-doc manifest: window count,
+    * duplicated-window count, duplicated ratio.
+    */
+  def ddDupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpans(graft.core.FanOut(Tables(s, dir).documents))
+
+  /** Core of [[ddDupSpans]] over any (doc_id, text) frame, so
+    * DupSpansSpec can pin the span-composition arithmetic on a crafted
+    * fixture.
+    */
+  private[graft] def dupSpans(docs0: DataFrame): DataFrame = {
+    val t = docs0
+      .select(col("doc_id"),
+        filter(graft.functions.ByteSplit.split(col("text")),
+          x => x =!= "").as("__w"))
+      .where(size(col("__w")) >= DupSpanK)
+    // persist: the window stream feeds the hot-gram build AND the final
+    // join — one tokenize+md5 pass instead of two. Released before
+    // return — see [[settled]].
+    val grams = t.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(__w) - $DupSpanK), " +
+          s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))")).as("gh"))
+      .persist()
+    grams.count()
+    val hot = grams.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+    settled(
+      grams.join(hot, Seq("gh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+        .orderBy("doc_id"),
+      grams)
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * formation step a dedup pipeline runs AFTER pair generation, turning
     * verified near-dup pairs into keep/drop groups (cluster id = the
@@ -946,6 +1004,7 @@ object Dedup extends QueryModule {
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_lsh" -> (ddEmbedLsh _),
     "dd_semdedup" -> (ddSemdedup _),
+    "dd_dup_spans" -> (ddDupSpans _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1257,5 +1316,27 @@ object Dedup extends QueryModule {
          |SELECT asg.vec_id, asg.cell, (dropped.vec_id IS NULL) AS kept
          |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
+    // k-token windows via range(1, len-(k-2)) -> i = 1..len-k+1, each
+    // md5'd; a window is duplicated when its gram occurs in >=2
+    // DISTINCT docs (the d CTE collapses within-doc repeats first)
+    "dd_dup_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - ${DupSpanK - 2}),
+         |      i -> md5(array_to_string(w[i:i + ${DupSpanK - 1}], ' ')))) AS gh
+         |  FROM w WHERE len(w) >= $DupSpanK),
+         |d AS (SELECT DISTINCT doc_id, gh FROM gr),
+         |hot AS (SELECT gh FROM d GROUP BY gh HAVING count(*) >= 2)
+         |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN hot.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  round(CAST(sum(CASE WHEN hot.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS dup_ratio
+         |FROM gr LEFT JOIN hot ON gr.gh = hot.gh
+         |GROUP BY gr.doc_id
+         |ORDER BY gr.doc_id""".stripMargin,
   )
 }
