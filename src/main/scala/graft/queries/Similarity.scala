@@ -217,6 +217,47 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Where [[simPq]] persists the trained per-subspace codebooks —
+    * per-run unique, same contract as [[KmeansCentroidDir]] (the
+    * oracle SQL interpolates this path and DuckDB replays it AFTER
+    * this JVM exits, so it is deliberately NOT routed through
+    * [[graft.core.TempDirs]]).
+    */
+  private[graft] lazy val PqCodebookDir = java.nio.file.Files
+    .createTempDirectory("graft_pq_codebooks_").toString
+
+  /** Product-quantization ANN under the driver oracle — see [[Pq]] for
+    * the method and the 100 TB shape. Like [[simKmeansIvf]], training
+    * (subspace-keyed deterministic Lloyd) is the declared non-SQL
+    * step; everything downstream is gated: the trained codebooks are
+    * persisted and read back, and DuckDB replays subvector slicing,
+    * argmin code assignment (identical ‖v‖²−2v·c+‖c‖² double
+    * arithmetic, lowest-cid ties), the per-query ADC distance table,
+    * the subspace-ordered lookup-sum fold, and the top-3 ranking
+    * UNDER the approximate distances — a wrong codeword, a drifted
+    * table entry, or a re-ordered fold all hash-fail. Queries are
+    * vec_id < 10; output ranks by ADC distance ascending.
+    */
+  def simPq(s: SparkSession, dir: String): DataFrame = {
+    val vectors = graft.core.FanOut(Tables(s, dir).embeddings)
+      .select(col("vec_id"), col("embedding"))
+    val subs = Pq.subvectors(vectors)
+    Pq.train(subs, Pq.PqK, Pq.PqIters)
+      .write.mode("overwrite").parquet(PqCodebookDir)
+    // read BACK so encoding provably uses the persisted table the
+    // oracle will read — not a diverging in-memory lineage
+    val cb = s.read.parquet(PqCodebookDir)
+    val codes = Pq.encode(subs, cb).select(col("vec_id"), col("m"), col("cid"))
+    val dtable = Pq.distanceTable(subs.where(col("vec_id") < 10), cb)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    Pq.adcDistances(codes, broadcast(dtable))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rank")
+  }
+
   /** INT8 symmetric quantization + dequantized-cosine top-k — the
     * memory-bound face of 100 TB ANN: a 64-dim float32 embedding table
     * is 256 B/row of scan; per-vector symmetric int8 (scale =
@@ -263,6 +304,7 @@ object Similarity extends QueryModule {
     "sim_ivf_bucket" -> (simIvfBucket _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_int8_topk" -> (simInt8Topk _),
+    "sim_pq" -> (simPq _),
   )
 
   private val dotSql =
@@ -350,6 +392,49 @@ object Similarity extends QueryModule {
          |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
          |  FROM scored)
          |SELECT query_id, rank, vec_id, cell, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Replays PQ end to end over the codebooks the engine TRAINED and
+    // persisted: same subvector slicing, same argmin code assignment
+    // (nv2 - 2·dot + nc2 left folds, lowest-cid ties), same per-query
+    // ADC table, and the SAME subspace-ordered fold for the lookup sum
+    // (list_prepend 0.0 + list(… ORDER BY m) ≡ Spark's sorted-array
+    // aggregate), so the approximate-distance ranking is bit-stable
+    // across engines. Training is the declared non-SQL step.
+    "sim_pq" ->
+      s"""WITH cb AS (
+         |  SELECT m, cid, centroid
+         |  FROM read_parquet('$PqCodebookDir/*.parquet')),
+         |sub AS (
+         |  SELECT vec_id, ms.m AS m,
+         |    list_slice(embedding, ms.m * ${Pq.SubspaceDim} + 1,
+         |      ms.m * ${Pq.SubspaceDim} + ${Pq.SubspaceDim}) AS sv
+         |  FROM embeddings, (SELECT unnest(range(0, ${Pq.SubspaceCount})) AS m) ms),
+         |d AS (
+         |  SELECT s.vec_id, s.m, cb.cid,
+         |    ${dotSql("sv", "sv")}
+         |      - 2.0 * ${dotSql("sv", "centroid")}
+         |      + ${dotSql("centroid", "centroid")} AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+         |    FROM d)
+         |  WHERE rn = 1),
+         |dtab AS (SELECT vec_id AS query_id, m, cid, d2 FROM d WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT t.query_id, c.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(t.d2 ORDER BY c.m)),
+         |      (x, y) -> x + y) AS adc
+         |  FROM codes c JOIN dtab t ON c.m = t.m AND c.cid = t.cid
+         |  WHERE t.query_id <> c.vec_id
+         |  GROUP BY t.query_id, c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, vec_id) AS INTEGER) AS rank
+         |  FROM adc)
+         |SELECT query_id, rank, vec_id, round(adc, 6) AS adc
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // Replays the full quantize → dequantize → cosine → rank pipeline:
     // identical per-vector scale (max|x|/127 on doubles), identical

@@ -188,7 +188,40 @@ object StreamingQueries extends QueryModule {
     * aggregated on read-back (same pattern as [[stHourlyAppend]] — no
     * aggregate state stacked on join state).
     */
-  def stJoin(s: SparkSession, dir: String): DataFrame = {
+  def stJoin(s: SparkSession, dir: String): DataFrame =
+    stJoinCore(s, dir, "st_join", rocksDb = false)
+
+  /** [[stJoin]]'s exact three-phase eviction fixture re-run on the
+    * RocksDB state store provider — the join-state counterpart of
+    * [[stDedupRocksDb]], and the harder case: a stream-stream join
+    * keeps BOTH sides' rows keyed by (join key, event time) and
+    * evicts each side against the query-global watermark, so at
+    * 100 TB/day join state (band × key-arrival volume × 2 sides)
+    * outgrows the heap provider long before a dedup horizon does.
+    * Same q29 batch oracle verbatim — the provider swap must be
+    * semantics-invisible INCLUDING the late-drop and partner-eviction
+    * behavior the three phases pin; StreamingSpec asserts the
+    * provider was genuinely active from the captured progress.
+    */
+  def stJoinRocksDb(s: SparkSession, dir: String): DataFrame =
+    stJoinCore(s, dir, "st_join_rocksdb", rocksDb = true)
+
+  /** Progress JSON of the most recent [[stJoinCore]] run, for
+    * StreamingSpec's provider assertion (same contract as
+    * [[lastDedupProgress]]).
+    */
+  @volatile private[graft] var lastJoinProgress: Seq[String] = Nil
+
+  private def stJoinCore(s0: SparkSession, dir: String, name: String,
+      rocksDb: Boolean): DataFrame = {
+    // Isolated session for the provider override — same reasoning as
+    // [[stDedupCore]]: the conf is read at stream start and must not
+    // leak into other streaming queries on the caller's session.
+    val s = if (rocksDb) {
+      val ns = s0.newSession()
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      ns
+    } else s0
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$dir/events.parquet")
       // integral `div`, NOT `/` — see Tables.events
@@ -207,7 +240,7 @@ object StreamingQueries extends QueryModule {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val advancer = mx.select(lit(-1L).as("event_id"), col("tmax").as("ts"),
       lit(-1L).as("user_id"), lit("wm_advancer").as("event_type"))
-    val srcDir = stagePhases(s, "st_join", Seq(ev, advancer, resent))
+    val srcDir = stagePhases(s, name, Seq(ev, advancer, resent))
     def src(): DataFrame = s.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -222,15 +255,18 @@ object StreamingQueries extends QueryModule {
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
         col("c_ts") <= col("e_ts") + expr("INTERVAL 5 MINUTES"))
-    val out = freshDir("st_join/out")
-    val chk = freshDir("st_join/chk")
+    val out = freshDir(s"$name/out")
+    val chk = freshDir(s"$name/chk")
     val q = joined.select("error_id", "user_id").writeStream
       .format("parquet")
       .option("path", out)
       .option("checkpointLocation", chk)
       .outputMode("append")
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      lastJoinProgress = q.recentProgress.toSeq.map(_.json)
+    } finally q.stop()
     s.read.parquet(out)
       .groupBy("error_id", "user_id")
       .agg(count(lit(1)).as("n_nearby_clicks"))
@@ -523,6 +559,7 @@ object StreamingQueries extends QueryModule {
     "st_hourly" -> (stHourly _),
     "st_sliding" -> (stSliding _),
     "st_join" -> (stJoin _),
+    "st_join_rocksdb" -> (stJoinRocksDb _),
     "st_hourly_append" -> (stHourlyAppend _),
     "st_wc_update" -> (stWcUpdate _),
     "st_enrich" -> (stEnrich _),
@@ -568,6 +605,7 @@ object StreamingQueries extends QueryModule {
     // the batch range-join oracle verbatim: the stream-stream banded
     // join must reproduce the batch pairs exactly
     "st_join" -> Relational.oracles("q29_range_join"),
+    "st_join_rocksdb" -> Relational.oracles("q29_range_join"),
     // the reconciled delta log must equal the batch word count exactly
     "st_wc_update" -> WordCountQueries.oracles("wc_word_count"),
     // the batch join's oracle verbatim (q27's plain join): streaming

@@ -238,6 +238,22 @@ class PlanShapeSpec extends SparkSpec {
       s"quantization must be pure projection, no aggregate:\n$p")
   }
 
+  test("sim_pq: every join broadcasts; encoding never shuffles scored candidates") {
+    val p = plan("sim_pq")
+    // codebook joins (encode, distance table) and the ADC code⋈table
+    // join are all broadcast — n² never appears, and nothing merges
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"all PQ joins must broadcast:\n$p")
+    // the in-row argmin encode: a window/groupBy encode would shuffle
+    // n·M·K scored rows keyed (vec_id, m) — that key must not exist
+    assert(!"Exchange hashpartitioning\\(vec_id#\\d+L?, m#".r.findFirstIn(p).isDefined,
+      s"encoding must fold in-row, not shuffle scored candidates:\n$p")
+    // the vector-side exchanges are exactly the ADC (query, vector)
+    // aggregate and the per-query rank window
+    assert("Exchange hashpartitioning\\(query_id#\\d+L?, vec_id".r.findFirstIn(p).isDefined,
+      s"expected the ADC lookup-sum aggregate exchange:\n$p")
+  }
+
   test("ta_gopher_quality: per-row rules, ONE lang-keyed aggregate exchange, no join") {
     val p = plan("ta_gopher_quality")
     // all five rules are per-row expressions folded into the scan

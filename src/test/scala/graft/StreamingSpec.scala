@@ -298,6 +298,25 @@ class StreamingSpec extends SparkSpec {
       "RocksDB conf leaked out of its isolated session")
   }
 
+  test("st_join_rocksdb runs two-sided join state on RocksDB, result-invisibly") {
+    import graft.queries.StreamingQueries
+    val dir = "/root/testdata/sf0.001"
+    // Heap run first: its progress must carry no rocksdb metrics (the
+    // dedup test already pins that the override cannot leak BETWEEN
+    // sessions; this pins the join query's own default).
+    val heap = StreamingQueries.stJoin(spark, dir).collect().toSeq
+    val heapProgress = StreamingQueries.lastJoinProgress.mkString("\n")
+    assert(heapProgress.nonEmpty && !heapProgress.contains("rocksdb"),
+      "default provider join run must not report RocksDB custom metrics")
+    val rocks = StreamingQueries.stJoinRocksDb(spark, dir).collect().toSeq
+    val rocksProgress = StreamingQueries.lastJoinProgress.mkString("\n")
+    assert(rocksProgress.contains("rocksdb"),
+      s"expected RocksDB custom metrics in join query progress:\n$rocksProgress")
+    // Semantics-invisible INCLUDING the three-phase eviction gates: the
+    // phase-3 re-sends must still contribute zero pairs under RocksDB.
+    assert(rocks === heap, "provider swap must be semantics-invisible")
+  }
+
   test("session-window append boundary: end == watermark emits; sub-ms past it withholds") {
     import spark.implicits._
     // Pins the eviction predicate the st_session_window oracle replays:
