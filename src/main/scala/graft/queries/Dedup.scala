@@ -629,18 +629,25 @@ object Dedup extends QueryModule {
           s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))")).as("gh"))
       .persist()
     grams.count()
+    settled(dupSpanManifest(grams), grams)
+  }
+
+  /** Hot-gram build + per-doc manifest over a (doc_id, gh) window
+    * stream — the whole post-tokenize plan of [[ddDupSpans]], split out
+    * so PlanShapeSpec can assert its join topology on an unpersisted
+    * input (the oracled query caches its result, hiding the plan).
+    */
+  private[graft] def dupSpanManifest(grams: DataFrame): DataFrame = {
     val hot = grams.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2)
-    settled(
-      grams.join(hot, Seq("gh"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
-        .withColumn("dup_ratio",
-          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
-        .orderBy("doc_id"),
-      grams)
+    grams.join(hot, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy("doc_id")
   }
 
   /** Connected components over an undirected pair list — the cluster-

@@ -482,24 +482,12 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .persist()
     big.count()
-    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
-    // prefix counts derived from the bigram table: c(v) = Σ_w c(v,w),
-    // so the model is consistent by construction
-    val uc = bc.groupBy("w1").agg(sum(col("cvw")).as("cv"))
     val vocab = t.select(explode(col("__w")).as("x"))
       .agg(countDistinct(col("x")).as("v"))
-    val model = bc.join(uc, "w1")
     // persist: the per-doc scores feed the histogram, the total count,
     // AND the final bucket projection — without this the bigram scoring
     // join re-runs three times (and drags the vocab broadcast with it)
-    val scored = big.join(model, Seq("w1", "w2"))
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
-        (length(bin(col("cv") + col("v"))) -
-          length(bin(col("cvw") + lit(1)))).as("s"))
-      .groupBy("doc_id")
-      .agg((sum(col("s")).cast("double") / count(lit(1))).as("score"))
-      .persist()
+    val scored = pplScore(big, vocab).persist()
     scored.count()
     big.unpersist()
     val h = scored.groupBy(floor(col("score") * 100).as("bin"))
@@ -521,6 +509,101 @@ object TextAnalysis extends QueryModule {
     scored.unpersist()
     out
   }
+
+  /** LM training + bigram scoring over a (doc_id, w1, w2) stream and a
+    * 1-row vocab-size frame — [[pplBucketCore]]'s heavy stage, split out
+    * so PlanShapeSpec can assert its join topology on an unpersisted
+    * input (the oracled query caches this stage, hiding the plan). The
+    * bigram/prefix counts both derive from the same table — c(v) =
+    * Σ_w c(v,w) — so the model is consistent by construction.
+    */
+  private[graft] def pplScore(big: DataFrame, vocab: DataFrame): DataFrame = {
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+    val uc = bc.groupBy("w1").agg(sum(col("cvw")).as("cv"))
+    val model = bc.join(uc, "w1")
+    big.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(col("cv") + col("v"))) -
+          length(bin(col("cvw") + lit(1)))).as("s"))
+      .groupBy("doc_id")
+      .agg((sum(col("s")).cast("double") / count(lit(1))).as("score"))
+  }
+
+  /** Feature-hash space for [[taClassify]]: 2 hex chars = 256 buckets.
+    * A production classifier hashes into 2^18+ buckets; the bucket-id
+    * arithmetic below is width-agnostic (widen the substring), and the
+    * weight lookup stays O(1) per token either way.
+    */
+  private[graft] val ClassifierFeatureHexChars = 2
+
+  /** Per-token classifier weight: token → md5 feature bucket → signed
+    * integer weight in [−128, 127] derived from the bucket's own md5.
+    * The md5-derived weights are a deterministic STAND-IN for a trained
+    * weight vector (same contract as [[taMixture]]'s md5 rates — a real
+    * run broadcast-joins a learned `(bucket, weight)` table at the same
+    * plan shape, which ClassifySpec proves equivalent); integer weights
+    * keep every margin exactly replayable in both engines.
+    */
+  private[graft] def classifierWeight(tok: Column): Column = {
+    val bucket = substring(md5(concat(lit("graft-feat-1|"), tok)), 1,
+      ClassifierFeatureHexChars)
+    conv(substring(md5(concat(lit("graft-w-1|"), bucket)), 1, 2), 16, 10)
+      .cast("long") - 128
+  }
+
+  /** Model-based quality filtering — fastText-style hashed-linear
+    * classifier INFERENCE (the CCNet / DCLM "classifier filter" step:
+    * a linear model over hashed bag-of-words features scores every
+    * document, and the pipeline keeps the positive class). The margin
+    * is an IN-ROW fold: tokenize → hash each token to a feature bucket
+    * → sum the buckets' signed integer weights — no explode, no join,
+    * no shuffle except the output sort, so inference runs at scan
+    * speed at 100 TB exactly like [[taQuality]]'s heuristic scoring.
+    * Integer margins (no sigmoid — the sign and ordering are what the
+    * filter consumes, and libm exp is the cross-engine hazard this
+    * repo's oracle contract bans) make the decision engine-exact.
+    */
+  def taClassify(s: SparkSession, dir: String): DataFrame =
+    classifyInRow(docs(s, dir))
+
+  /** The in-row inference fold of [[taClassify]] over any (doc_id,
+    * text) frame, so ClassifySpec can replay margins independently on
+    * a crafted fixture.
+    */
+  private[graft] def classifyInRow(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), filter(toks, t => t =!= "").as("__w"))
+      .select(col("doc_id"),
+        size(col("__w")).as("n_tokens"),
+        aggregate(col("__w"), lit(0L),
+          (acc, t) => acc + classifierWeight(t)).as("margin"))
+      .withColumn("label", when(col("margin") > 0, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+
+  /** Classifier inference against a WEIGHTS TABLE — [[taClassify]]'s
+    * md5-derived stand-in weights replaced by a `(bucket, weight)`
+    * DataFrame, the shape a TRAINED model ships in: the table is
+    * O(2^feature-bits) rows, always broadcastable, so the probe is a
+    * map-side hash join and the only added cost over the in-row fold
+    * is the token explode feeding the per-doc margin aggregate.
+    * Buckets absent from the table carry weight 0 (a trained hashed
+    * model is total over its own bucket space by construction).
+    * ClassifySpec proves the md5-reproducing table replays
+    * [[taClassify]] bit-for-bit.
+    */
+  private[graft] def taClassifyCore(d: DataFrame, weights: DataFrame): DataFrame =
+    d.select(col("doc_id"), filter(toks, t => t =!= "").as("__w"))
+      .select(col("doc_id"), size(col("__w")).as("n_tokens"),
+        explode_outer(col("__w")).as("tok"))
+      .withColumn("bucket",
+        substring(md5(concat(lit("graft-feat-1|"), col("tok"))), 1,
+          ClassifierFeatureHexChars))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("doc_id", "n_tokens")
+      .agg(coalesce(sum("weight"), lit(0L)).as("margin"))
+      .withColumn("label", when(col("margin") > 0, "keep").otherwise("drop"))
+      .select("doc_id", "n_tokens", "margin", "label")
+      .orderBy("doc_id")
 
   /** Positional token fan-out (posexplode) — the generator/UDTF shape:
     * one output row per (doc, position, token), the layout a token-level
@@ -617,6 +700,7 @@ object TextAnalysis extends QueryModule {
     "ta_gopher_quality" -> (taGopherQuality _),
     "ta_shuffle_shard" -> (taShuffleShard _),
     "ta_ppl_bucket" -> (taPplBucket _),
+    "ta_classify" -> (taClassify _),
     "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
@@ -672,6 +756,25 @@ object TextAnalysis extends QueryModule {
          |  CAST(sum(CASE WHEN ok_len AND ok_wordlen AND ok_stopword AND ok_dup
          |    AND ok_symbol THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // replays inference token-by-token: the same two-md5 bucket→weight
+    // chain, the 2-hex-digit weight folded to an int via strpos (DuckDB
+    // has no conv()); integer margins make the fold order-free
+    "ta_classify" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    coalesce(list_sum(list_transform(w, t ->
+        |      (strpos('0123456789abcdef', substr(md5('graft-w-1|'
+        |         || substr(md5('graft-feat-1|' || t), 1, 2)), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5('graft-w-1|'
+        |         || substr(md5('graft-feat-1|' || t), 1, 2)), 2, 1)) - 1)
+        |      - 128)), 0) AS margin
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(margin AS BIGINT) AS margin,
+        |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM m ORDER BY doc_id""".stripMargin,
     // hex coin folded to a BIGINT digit-by-digit (DuckDB has no conv());
     // 2^32 / 8 shards = 536870912-wide contiguous coin ranges
     "ta_shuffle_shard" ->

@@ -275,6 +275,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"shuffle-shard must not join:\n$p")
   }
 
+  test("dd_dup_spans: hot-gram manifest is one gram-keyed join, no pair explosion") {
+    // the oracled query caches its result (settled), so assert the
+    // extracted post-tokenize plan on an unpersisted window stream
+    import spark.implicits._
+    val grams = Seq((1L, "aa"), (1L, "bb"), (2L, "aa")).toDF("doc_id", "gh")
+    val p = graft.queries.Dedup.dupSpanManifest(grams)
+      .queryExecution.executedPlan.toString
+    // a gram shared by k docs must cost k rows (1:1 join against the
+    // hot set), never k² — no join may pair the window stream with itself
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-span detection must stay an equi-join:\n$p")
+    val joinKeys = "(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[([a-z_]+)#"
+      .r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(joinKeys.nonEmpty && joinKeys.forall(_ == "gh"),
+      s"the only join keys on the 16-byte gram hash, got $joinKeys:\n$p")
+    val exKeys = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exKeys.subsetOf(Set("gh", "doc_id")),
+      s"shuffles keyed on gram or doc only, got $exKeys:\n$p")
+  }
+
+  test("ta_ppl_bucket: LM scoring is bigram-keyed equi-joins + one doc aggregate") {
+    // the oracled query caches the scored stage, so assert the extracted
+    // scoring plan (model build + bigram join) on unpersisted inputs
+    import spark.implicits._
+    val big = Seq((1L, "a", "b"), (1L, "b", "c"), (2L, "a", "b"))
+      .toDF("doc_id", "w1", "w2")
+    val vocab = Seq(Tuple1(3L)).toDF("v")
+    val p = graft.queries.TextAnalysis.pplScore(big, vocab)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized joins (bigram⋈model, model = bc⋈uc) stay keyed on
+    // the token prefix; the ONE nested-loop is the broadcast 1-row vocab
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"exactly the 1-row vocab broadcast may nest-loop:\n$p")
+    val joinKeys = "(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[([a-z_0-9]+)#"
+      .r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(joinKeys.nonEmpty && joinKeys.forall(_ == "w1"),
+      s"every equi-join leads on the bigram prefix w1, got $joinKeys:\n$p")
+    val exKeys = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exKeys.subsetOf(Set("w1", "w2", "doc_id")),
+      s"shuffles keyed on bigram or doc only, got $exKeys:\n$p")
+  }
+
   test("dd_semdedup: assignment computed once (cached), joins keyed on cell/vec_id only") {
     val p = plan("dd_semdedup")
     // the persisted assignment feeds the pair join's both branches and
