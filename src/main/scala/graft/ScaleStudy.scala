@@ -38,8 +38,12 @@ object ScaleStudy {
       val t0 = System.nanoTime()
       graft.queries.Dedup.embedLshPairs(emb, r, bands)
         .write.format("noop").mode("overwrite").save()
+      // capture elapsed BEFORE cache teardown — Bench's timing window
+      // ends at the noop write too; clearCache is inter-pass hygiene,
+      // not part of the measured plan cost
+      val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      elapsed
     }
     once() // warm-up (JIT + scan cache), untimed — same discipline as Bench
     val samples = (1 to passes).map(_ => once())

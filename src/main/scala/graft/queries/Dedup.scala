@@ -523,16 +523,24 @@ object Dedup extends QueryModule {
   private[graft] lazy val SemdedupCentroidDir = java.nio.file.Files
     .createTempDirectory("graft_semdedup_centroids_").toString
 
-  /** Core of [[ddSemdedup]], parameterized on the vector set and the
-    * centroid sink so SemdedupSpec can run it on a crafted fixture
-    * against its own scratch dir.
+  /** Core of [[ddSemdedup]], parameterized on the vector set, the
+    * centroid sink (so SemdedupSpec can run it on a crafted fixture
+    * against its own scratch dir), and the CELL COUNT k: the
+    * within-cell pair join costs Σ|cell|² ≈ n²/k, so k must grow with
+    * n ([[Similarity.kmeansCellsForN]], cells ≈ √n ⇒ join cost ≈
+    * n^1.5) or the pipeline hits the same quadratic wall the round-6
+    * scale study measured for fixed-r embed-LSH. The oracled gate
+    * pins k = [[SemdedupK]] (= kmeansCellsForN at gate n, asserted by
+    * ScaleConfigSpec); [[graft.ScaleStudy]] measures the rule-resolved
+    * path at larger n.
     */
-  private[graft] def semdedup(vectors: DataFrame, centroidDir: String): DataFrame = {
+  private[graft] def semdedup(vectors: DataFrame, centroidDir: String,
+      k: Int = SemdedupK, iters: Int = SemdedupIters): DataFrame = {
+    require(k > 0 && iters > 0, s"need positive k/iters, got k=$k iters=$iters")
     val e = vectors
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    KmeansIvf.train(e.select(col("vec_id"), col("embedding")),
-        SemdedupK, SemdedupIters)
+    KmeansIvf.train(e.select(col("vec_id"), col("embedding")), k, iters)
       .write.mode("overwrite").parquet(centroidDir)
     // read BACK so assignment provably uses the persisted table the
     // oracle will read — not a diverging in-memory lineage
@@ -567,15 +575,20 @@ object Dedup extends QueryModule {
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by
     * k-means-cell blocking — cluster the embedding space, then compare
-    * pairs only WITHIN each Voronoi cell and keep the first (lowest-id)
-    * member of every similar group. The production answer to
+    * pairs only WITHIN each Voronoi cell, dropping every vector that
+    * has ANY lower-id similar neighbor in its cell (including
+    * neighbors that are themselves dropped — on a transitive chain
+    * a~b, b~c with a≁c this drops BOTH b and c, stricter than a
+    * greedy scan over survivors, which would keep c; cells are small,
+    * the distinction is one aggregate vs an inherently sequential
+    * scan). The production answer to
     * [[ddEmbedNear]]'s O(n²) all-pairs: the trained centroid table
     * (k rows, broadcast) assigns every vector a cell with one map-side
     * argmin pass, the pair join is an EQUI-join on the cell id — cost
     * Σ|cell|², bounded because k grows with n (cells ≈ √n, the
     * [[Similarity.ivfBitsForN]] discipline) — and the keep/drop rule is
     * one aggregate over the surviving pairs, no iterative clustering.
-    * Training + assignment + pairing + the greedy first-occurrence-wins
+    * Training + assignment + pairing + the lower-id-neighbor drop
     * rule all run under the oracle: DuckDB replays argmin assignment
     * over the persisted centroids the engine trained (identical
     * ‖v‖²−2v·c+‖c‖² arithmetic, lowest-cid ties), the within-cell
@@ -924,7 +937,14 @@ object Dedup extends QueryModule {
       s"need >= 2 positive ratios, got $ratios")
     require(math.abs(ratios.sum - 1.0) < 1e-9, s"ratios must sum to 1: $ratios")
     val cuts = ratios.scanLeft(0.0)(_ + _).tail.init // cumulative, drop 0 and 1
-    val hex = cuts.map(f => f"${math.round(f * 0x10000).toInt}%04x")
+    val rounded = cuts.map(f => math.round(f * 0x10000).toInt)
+    // a cut that rounds to 0 or 0x10000 would format as "0000" (empty
+    // split) or the 5-char "10000" (lexicographically BELOW "1xxx".."fxxx"
+    // on the 4-hex-char coin, silently misrouting ~94% of the coin space)
+    require(rounded.forall(c => c > 0 && c < 0x10000),
+      s"ratios too extreme for the 16-bit coin space: cuts $rounded " +
+        s"must all be in (0, ${0x10000})")
+    val hex = rounded.map(c => f"$c%04x")
     require(hex == hex.sorted && hex.distinct == hex,
       s"thresholds must be strictly increasing: $hex (ratios too fine for 16 bits)")
     hex
@@ -1295,8 +1315,9 @@ object Dedup extends QueryModule {
     // Replays the FULL SemDeDup pipeline over the centroids the engine
     // trained and persisted: argmin-distance cell assignment (identical
     // ‖v‖²−2v·c+‖c‖² double arithmetic, lowest-cid ties — same replay as
-    // sim_kmeans_ivf), within-cell rounded-cosine pairs, and the greedy
-    // first-occurrence-wins drop set.
+    // sim_kmeans_ivf), within-cell rounded-cosine pairs, and the drop
+    // set (drop every vector with a lower-id similar same-cell
+    // neighbor, dropped or not — see ddSemdedup's Scaladoc).
     "dd_semdedup" ->
       s"""WITH cent AS (
          |  SELECT cid, centroid

@@ -357,7 +357,12 @@ object TextAnalysis extends QueryModule {
         col("__r.n_tokens").as("n_tokens"),
         (col("__r.n_tokens") >= GopherMinTokens &&
           col("__r.n_tokens") <= GopherMaxTokens).as("ok_len"),
-        (col("__letters").cast("double") / col("__r.n_tokens") >= GopherMinWordLen &&
+        // the n_tokens > 0 guard makes the rule total: a 0-token doc
+        // divides by zero — NULL in Spark, ±inf in DuckDB's IEEE floats —
+        // and `false && NULL` = false in both, so empty docs FAIL the
+        // rule identically instead of diverging between engines
+        (col("__r.n_tokens") > 0 &&
+          col("__letters").cast("double") / col("__r.n_tokens") >= GopherMinWordLen &&
           col("__letters").cast("double") / col("__r.n_tokens") <= GopherMaxWordLen)
           .as("ok_wordlen"),
         (size(filter(col("__w"),
@@ -738,7 +743,7 @@ object TextAnalysis extends QueryModule {
          |r AS (
          |  SELECT lang, CAST(len(w) AS INTEGER) AS n_tokens,
          |    (len(w) BETWEEN $GopherMinTokens AND $GopherMaxTokens) AS ok_len,
-         |    (n_letters::DOUBLE / len(w) >= $GopherMinWordLen
+         |    (len(w) > 0 AND n_letters::DOUBLE / len(w) >= $GopherMinWordLen
          |      AND n_letters::DOUBLE / len(w) <= $GopherMaxWordLen) AS ok_wordlen,
          |    (len(list_filter(w, x -> x IN $gopherInList)) >= $GopherMinStopHits) AS ok_stopword,
          |    (len(w) - len(list_distinct(w)) <= $GopherMaxDupRatio * len(w)) AS ok_dup,

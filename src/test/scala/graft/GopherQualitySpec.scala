@@ -51,6 +51,19 @@ class GopherQualitySpec extends SparkSpec {
     assert(got(5L) === ((true, true, true, true, false)))
   }
 
+  test("a 0-token document fails the word-length rule (rule is total, not NULL)") {
+    import spark.implicits._
+    // without the n_tokens > 0 guard the mean-word-length division is
+    // 0/0 — NULL in Spark (doc counted in NEITHER fail_wordlen nor
+    // n_kept), inf in DuckDB (counted in fail_wordlen): a latent
+    // engine/oracle divergence. The guard pins FALSE in both.
+    val fixture = Seq((0L, "en", ""), (1L, "en", "   ")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.gopherRules(fixture)
+      .select("doc_id", "ok_wordlen").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(0L -> false, 1L -> false))
+  }
+
   test("gate corpus: four rules discriminate, the symbol rule is declared degenerate") {
     val agg = TextAnalysis.taGopherQuality(spark, "/root/testdata/sf0.001").collect()
     assert(agg.nonEmpty)

@@ -45,6 +45,16 @@ class SplitLeakSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.splitThresholds(Seq(0.9, 0.2)) }
     intercept[IllegalArgumentException] { Dedup.splitThresholds(Seq(1.0)) }
     intercept[IllegalArgumentException] { Dedup.splitThresholds(Seq(0.5, -0.5, 1.0)) }
+    // cuts that round OUT of the open (0, 0x10000) interval must fail
+    // fast: 1 − 5e-9 rounds to 0x10000 and would otherwise format as the
+    // 5-char "10000", lexicographically below '1xxx'..'fxxx' on the
+    // 4-char coin — ~94% of the coin space silently misrouted
+    intercept[IllegalArgumentException] {
+      Dedup.splitThresholds(Seq(1.0 - 5e-9, 5e-9))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.splitThresholds(Seq(5e-9, 1.0 - 5e-9)) // first cut rounds to 0
+    }
   }
 
   test("a custom ratio vector partitions the corpus with the same leak-freedom") {
