@@ -123,11 +123,19 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // Surface lockstep: every registered query this record does NOT
+    // time, by name. Non-empty only under SPARK_GRAFT_BENCH_ONLY — a
+    // DEFINITIVE record must show "missing":[] or it is not definitive
+    // (round 6's ta_classify landed after the record and the drift was
+    // invisible; now it is one grep).
+    val missing = SparkEntry.queries.keys.toSeq.sorted.filterNot(names.contains)
+      .map(jstr).mkString("[", ",", "]")
     // Stop Spark BEFORE printing so shutdown chatter can't land after the
     // JSON — the driver parses the last clean stdout line.
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_runs":$runsJson,"errors":$errors,"n_failed":$nFailed,""" +
+      s""""n_queries":${names.length},"missing":$missing,""" +
       s""""wc_corpus_130_sec":${wcBest.fold("null")(_.toString)},""" +
       s""""wc_corpus_tokens_per_sec":${tokPerSec.fold("null")(_.toString)},"sf":"$sfDir"}""")
   }

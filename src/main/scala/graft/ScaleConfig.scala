@@ -41,7 +41,8 @@ object ScaleConfig {
       ivfBits: Int,
       ivfCells: Int,
       kmeansCells: Int,
-      seqPackShards: Int)
+      seqPackShards: Int,
+      shuffleShards: Int)
 
   def forCorpus(n: Long): Resolved = {
     val r = Dedup.minhashRowsForN(n)
@@ -55,7 +56,8 @@ object ScaleConfig {
       ivfBits = bits,
       ivfCells = 1 << bits,
       kmeansCells = Similarity.kmeansCellsForN(n),
-      seqPackShards = TextAnalysis.seqPackShardsForN(n))
+      seqPackShards = TextAnalysis.seqPackShardsForN(n),
+      shuffleShards = TextAnalysis.shuffleShardsForN(n))
   }
 
   /** documents/embeddings row count of the driver's gate corpus — the n
@@ -72,5 +74,6 @@ object ScaleConfig {
     ivfBits = Similarity.BucketDims,
     ivfCells = 1 << Similarity.BucketDims,
     kmeansCells = Similarity.KmeansK,
-    seqPackShards = TextAnalysis.GateSeqPackShards)
+    seqPackShards = TextAnalysis.GateSeqPackShards,
+    shuffleShards = TextAnalysis.ShuffleShards)
 }

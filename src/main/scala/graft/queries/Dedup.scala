@@ -663,6 +663,64 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span EXTENTS — the step a pipeline actually cuts on
+    * (Lee et al. 2021 removes the duplicated SPANS, not the documents):
+    * compose [[ddDupSpans]]'s per-window duplicate flags into maximal
+    * runs of consecutive duplicated windows and emit one
+    * (doc_id, start_tok, end_tok) extent per run, where a run of
+    * consecutive duplicated k-windows starting at i and ending at j
+    * covers tokens [i, j + k − 1] — the L−k+1-window composition
+    * property DupSpansSpec pins is exactly the merge invariant (a
+    * duplicated span of L tokens is L−k+1 consecutive duplicated
+    * windows and merges back to one extent of L tokens).
+    *
+    * Plan shape: the same gram-keyed hot-set build and 1:1 equi-join
+    * as [[ddDupSpans]] (no pair join — a gram in k docs costs k rows),
+    * then the run merge is gaps-and-islands INSIDE each document:
+    * island = window index − its per-doc rank, one doc-keyed window +
+    * one (doc, island) aggregate, both bounded by document length —
+    * never anything corpus-global.
+    */
+  def ddDupSpanExtents(s: SparkSession, dir: String): DataFrame =
+    dupSpanExtents(graft.core.FanOut(Tables(s, dir).documents))
+
+  /** Core of [[ddDupSpanExtents]] over any (doc_id, text) frame, so
+    * DupSpansSpec can pin the merge arithmetic on crafted fixtures.
+    */
+  private[graft] def dupSpanExtents(docs0: DataFrame): DataFrame = {
+    val t = docs0
+      .select(col("doc_id"),
+        filter(graft.functions.ByteSplit.split(col("text")),
+          x => x =!= "").as("__w"))
+      .where(size(col("__w")) >= DupSpanK)
+    // positional window stream: (doc_id, i, gh), i = 0-based start token
+    val grams = t.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $DupSpanK), " +
+          s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))"))
+        .as(Seq("i", "gh")))
+      .persist()
+    grams.count()
+    val hot = grams.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("gh")
+    // gaps-and-islands: consecutive duplicated windows share
+    // i − rank(i), so each maximal run collapses to one group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val extents = grams.join(hot, Seq("gh"))
+      .withColumn("island", col("i") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("i").as("start_tok"),
+        (max("i") + lit(DupSpanK - 1)).as("end_tok"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).cast("long").as("span_tokens"),
+        col("n_dup_windows"))
+      .orderBy("doc_id", "start_tok")
+    settled(extents, grams)
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * formation step a dedup pipeline runs AFTER pair generation, turning
     * verified near-dup pairs into keep/drop groups (cluster id = the
@@ -1032,6 +1090,7 @@ object Dedup extends QueryModule {
     "dd_embed_lsh" -> (ddEmbedLsh _),
     "dd_semdedup" -> (ddSemdedup _),
     "dd_dup_spans" -> (ddDupSpans _),
+    "dd_dup_span_extents" -> (ddDupSpanExtents _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1366,5 +1425,30 @@ object Dedup extends QueryModule {
          |FROM gr LEFT JOIN hot ON gr.gh = hot.gh
          |GROUP BY gr.doc_id
          |ORDER BY gr.doc_id""".stripMargin,
+    // Same hot-gram build as dd_dup_spans but with 0-based window
+    // positions kept, then the gaps-and-islands merge: consecutive
+    // duplicated windows share i − row_number, one extent per island,
+    // covering tokens [min(i), max(i) + k − 1]
+    "dd_dup_span_extents" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |    md5(array_to_string(w[i + 1:i + $DupSpanK], ' ')) AS gh
+         |  FROM w, LATERAL unnest(range(0, len(w) - ${DupSpanK - 1})) AS u(i)
+         |  WHERE len(w) >= $DupSpanK),
+         |d AS (SELECT DISTINCT doc_id, gh FROM gr),
+         |hot AS (SELECT gh FROM d GROUP BY gh HAVING count(*) >= 2),
+         |dup AS (
+         |  SELECT gr.doc_id, gr.i,
+         |    gr.i - row_number() OVER (PARTITION BY gr.doc_id ORDER BY gr.i) AS island
+         |  FROM gr JOIN hot ON gr.gh = hot.gh)
+         |SELECT doc_id, CAST(min(i) AS INTEGER) AS start_tok,
+         |  CAST(max(i) + ${DupSpanK - 1} AS INTEGER) AS end_tok,
+         |  CAST(max(i) + $DupSpanK - min(i) AS BIGINT) AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_dup_windows
+         |FROM dup GROUP BY doc_id, island
+         |ORDER BY doc_id, start_tok""".stripMargin,
   )
 }

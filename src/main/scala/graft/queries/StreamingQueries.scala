@@ -133,8 +133,7 @@ object StreamingQueries extends QueryModule {
     val schema = s.read.parquet(path).schema
     // [e] glob: single-file table, same reason as stWordCount
     val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-      // integral `div`, NOT `/` — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     runToCompletion(s, EventStream.hourlyCounts(ev), "st_hourly_sink")
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"),
@@ -152,8 +151,7 @@ object StreamingQueries extends QueryModule {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // [e] glob: single-file table, same reason as stWordCount
     val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-      // integral `div`, NOT `/` — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     runToCompletion(s, EventStream.slidingCounts(ev), "st_sliding_sink")
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n_events"))
@@ -224,8 +222,7 @@ object StreamingQueries extends QueryModule {
     } else s0
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$dir/events.parquet")
-      // integral `div`, NOT `/` — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val mx = ev.agg(
       max(when(col("event_type") === "click", col("ts"))).as("max_click"),
@@ -292,7 +289,7 @@ object StreamingQueries extends QueryModule {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // [e] glob: single-file table, same reason as stWordCount
     val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
     val out = freshDir("st_hourly_append/out")
     val chk = freshDir("st_hourly_append/chk")
     val q = EventStream.hourlyCounts(ev).writeStream
@@ -394,7 +391,7 @@ object StreamingQueries extends QueryModule {
     val schema = s.read.parquet(path).schema
     // [e] glob: single-file table, same reason as stWordCount
     val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .select(col("user_id"), col("ts")).as[graft.streaming.UserEvent]
     val q = EventStream.sessionize(s, ev, gapMinutes = 30).toDF()
       .writeStream.format("memory").queryName("st_sessionize_sink")
@@ -471,8 +468,7 @@ object StreamingQueries extends QueryModule {
     } else s
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = ss.read.parquet(s"$dir/events.parquet")
-      // integral `div`, NOT `/` — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     val mx = ev.agg(max("ts").as("tmax"))
     val withMax = ev.crossJoin(broadcast(mx)) // 1-row stats broadcast
@@ -531,7 +527,7 @@ object StreamingQueries extends QueryModule {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // [e] glob: single-file table, same reason as stWordCount
     val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeEventTs)
       .withWatermark("ts", "0 seconds")
     val agg = ev
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))

@@ -401,10 +401,27 @@ object TextAnalysis extends QueryModule {
           .otherwise(0L)).as("tokens_kept"))
       .orderBy("lang")
 
-  /** Shard count for the deterministic global shuffle (8 = gate config;
-    * a production run sizes this like [[seqPackShardsForN]] — shards ≈
-    * corpus / target-shard-rows — the shard id arithmetic below is
-    * width-agnostic).
+  /** Shard count for an n-document shuffle run — the
+    * [[seqPackShardsForN]] discipline (target ≈ 64k docs per shard so
+    * the per-shard position sort stays one bounded in-partition sort)
+    * constrained to POWERS OF TWO, because the shard id is a bit-range
+    * of the 32-bit coin (shard = coin >> (32 − log₂ shards)) and only
+    * a power-of-two width keeps every shard an exact contiguous coin
+    * range. Snapped UP (never down: rounding down doubles the shard
+    * sort size), floored at 8 — the oracled gate configuration
+    * ([[ShuffleShards]]), the same static-oracle compromise the other
+    * rules document. 10⁶ docs → 16 shards; 10⁹ → 16 384.
+    */
+  def shuffleShardsForN(n: Long): Int = {
+    val target = math.max(1L, (n + 65535) / 65536)
+    var p = 8
+    while (p < target) p <<= 1
+    p
+  }
+
+  /** Oracled gate config for [[taShuffleShard]] =
+    * [[shuffleShardsForN]] at the gate corpus (ScaleConfigSpec pins
+    * the equality).
     */
   private[graft] val ShuffleShards = 8
 
@@ -423,14 +440,24 @@ object TextAnalysis extends QueryModule {
     * determinism contract as [[taSample]]: any cluster, any partition
     * layout, any retry produces the identical permutation.
     */
-  def taShuffleShard(s: SparkSession, dir: String): DataFrame = {
+  def taShuffleShard(s: SparkSession, dir: String): DataFrame =
+    shuffleShard(docs(s, dir), ShuffleShards)
+
+  /** Core of [[taShuffleShard]], parameterized on the shard count (a
+    * power of two — a production run passes [[shuffleShardsForN]](n));
+    * ShuffleShardSpec replays the permutation at a non-gate width too.
+    */
+  private[graft] def shuffleShard(d: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 2 && Integer.bitCount(shards) == 1,
+      s"shard count must be a power of two >= 2, got $shards")
+    // 2^32 coin space over `shards` contiguous ranges:
+    // shard = coin >> (32 − log₂ shards)
+    val shift = 32 - Integer.numberOfTrailingZeros(shards)
     val coin = substring(md5(concat(lit("graft-shuf-1|"), col("doc_id"))), 1, 8)
     val w = Window.partitionBy("shard").orderBy("coin", "doc_id")
-    docs(s, dir)
-      .select(col("doc_id"), coin.as("coin"))
-      // 2^32 coin space over 8 shards: shard = coin >> 29
+    d.select(col("doc_id"), coin.as("coin"))
       .withColumn("shard",
-        shiftright(conv(col("coin"), 16, 10).cast("long"), 29).cast("int"))
+        shiftright(conv(col("coin"), 16, 10).cast("long"), shift).cast("int"))
       .withColumn("pos", row_number().over(w).cast("int"))
       .select("shard", "pos", "doc_id", "coin")
       .orderBy("shard", "pos")
@@ -610,6 +637,35 @@ object TextAnalysis extends QueryModule {
       .select("doc_id", "n_tokens", "margin", "label")
       .orderBy("doc_id")
 
+  /** The full 256-row md5-reproducing weights table — every bucket of
+    * the [[ClassifierFeatureHexChars]]-hex feature space paired with
+    * the SAME weight [[classifierWeight]] derives inline, built as a
+    * DataFrame so [[taClassifyWeighted]] ships weights as DATA (the
+    * form a trained model arrives in) while staying bit-equal to the
+    * in-row fold (ClassifySpec proves the equality; the driver oracle
+    * regenerates the identical table in SQL).
+    */
+  private[graft] def classifierWeightsTable(s: SparkSession): DataFrame =
+    s.range(1 << (4 * ClassifierFeatureHexChars))
+      .select(format_string(s"%0${ClassifierFeatureHexChars}x", col("id"))
+        .as("bucket"))
+      .withColumn("weight",
+        conv(substring(md5(concat(lit("graft-w-1|"), col("bucket"))), 1, 2), 16, 10)
+          .cast("long") - 128)
+
+  /** Classifier inference with the weights as a broadcast TABLE — the
+    * deployment shape of [[taClassify]] (a trained `(bucket, weight)`
+    * vector shipped as data), under the driver oracle: DuckDB
+    * regenerates the same 256-row table from the same md5 arithmetic
+    * and replays the explode → broadcast probe → per-doc margin sum.
+    * Same plan discipline as [[taMixtureWeighted]]: the weights side
+    * is O(2^feature-bits) rows, the join is a map-side hash probe
+    * (PlanShapeSpec pins broadcast-only), and the corpus side still
+    * runs at scan speed.
+    */
+  def taClassifyWeighted(s: SparkSession, dir: String): DataFrame =
+    taClassifyCore(docs(s, dir), classifierWeightsTable(s))
+
   /** Positional token fan-out (posexplode) — the generator/UDTF shape:
     * one output row per (doc, position, token), the layout a token-level
     * labeling or n-gram indexing stage consumes. Sampled to 1% of docs
@@ -706,6 +762,7 @@ object TextAnalysis extends QueryModule {
     "ta_shuffle_shard" -> (taShuffleShard _),
     "ta_ppl_bucket" -> (taPplBucket _),
     "ta_classify" -> (taClassify _),
+    "ta_classify_weighted" -> (taClassifyWeighted _),
     "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
@@ -777,6 +834,38 @@ object TextAnalysis extends QueryModule {
         |         || substr(md5('graft-feat-1|' || t), 1, 2)), 2, 1)) - 1)
         |      - 128)), 0) AS margin
         |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(margin AS BIGINT) AS margin,
+        |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the weights table REGENERATED in SQL (printf('%02x') over
+    // range(256), same md5→[−128,127] arithmetic), then the
+    // explode → left-join probe → per-doc margin sum replayed; an
+    // empty token list keeps its row (unnest of [NULL] ≡ Spark's
+    // explode_outer) with margin coalesced to 0
+    "ta_classify_weighted" ->
+      """WITH wt AS (
+        |  SELECT printf('%02x', i) AS bucket,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5('graft-w-1|' || printf('%02x', i)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |       substr(md5('graft-w-1|' || printf('%02x', i)), 2, 1)) - 1)
+        |    - 128 AS weight
+        |  FROM range(0, 256) t(i)),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    unnest(CASE WHEN len(w) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE w END) AS tok
+        |  FROM t),
+        |j AS (
+        |  SELECT doc_id, n_tokens,
+        |    substr(md5('graft-feat-1|' || tok), 1, 2) AS bucket
+        |  FROM e),
+        |m AS (
+        |  SELECT j.doc_id, j.n_tokens, coalesce(sum(wt.weight), 0) AS margin
+        |  FROM j LEFT JOIN wt ON j.bucket = wt.bucket
+        |  GROUP BY j.doc_id, j.n_tokens)
         |SELECT doc_id, n_tokens, CAST(margin AS BIGINT) AS margin,
         |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM m ORDER BY doc_id""".stripMargin,

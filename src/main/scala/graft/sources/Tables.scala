@@ -23,18 +23,38 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds — exactly what DuckDB does when it surfaces the column
-    * as its microsecond TIMESTAMP, so both engines see identical values.
+  /** See [[Tables.normalizeEventTs]] — `ts` lands as the session
+    * TIMESTAMP at microsecond values whichever physical type the
+    * generator wrote.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t("events")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integral `div`, NOT `/`: float division of an epoch-nanos long
-    // (~1.7e18) loses precision beyond double's 53-bit mantissa.
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(t("events"))
+  }
+}
+
+object Tables {
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects outright, so it is read as an epoch-nanos long
+    * under `spark.sql.legacy.parquet.nanosAsLong` and truncated to
+    * microseconds (integral `div`, NOT `/`: float division of a
+    * ~1.7e18 long loses precision beyond double's 53-bit mantissa) —
+    * and plain microsecond TIMESTAMP_NTZ. Both normalize to the
+    * session TIMESTAMP carrying identical microsecond values (the
+    * session time zone is pinned UTC everywhere, so the NTZ→LTZ cast
+    * is value-preserving), which is exactly the column DuckDB's
+    * microsecond TIMESTAMP surfaces on the oracle side — so every
+    * consumer sees one type and the oracle SQL is generation-agnostic.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

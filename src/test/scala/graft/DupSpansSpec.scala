@@ -44,6 +44,59 @@ class DupSpansSpec extends SparkSpec {
     assert(got(2L) === ((9L, 0L)))
   }
 
+  test("extents: runs of duplicated windows merge to closed-form spans") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"s$i") // L=12 span
+    val shared2 = (0 until K).map(i => s"t$i") // L=8 span -> 1 window
+    val fixture = Seq(
+      // doc 0: 4 unique + shared12 + 3 unique + shared8  (two islands)
+      (0L, ((0 until 4).map(i => s"a$i") ++ shared ++
+        (0 until 3).map(i => s"c$i") ++ shared2).mkString(" ")),
+      // doc 1: shared12 at position 0
+      (1L, (shared ++ (0 until 4).map(i => s"b$i")).mkString(" ")),
+      // doc 2: shared8 at position 2
+      (2L, ((0 until 2).map(i => s"d$i") ++ shared2 ++
+        (0 until 2).map(i => s"e$i")).mkString(" ")),
+      // doc 3: no cross-doc overlap -> no extents
+      (3L, (0 until 16).map(i => s"z$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.dupSpanExtents(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+
+    // doc 0: shared12 occupies tokens [4,15] -> 5 windows starting 4..8
+    //        shared8 occupies tokens [19,26] -> 1 window at 19
+    // doc 1: shared12 at [0,11] -> 5 windows starting 0..4
+    // doc 2: shared8 at [2,9] -> 1 window at 2
+    assert(got.toSeq === Seq(
+      (0L, 4, 15, 12L, 5L),
+      (0L, 19, 26, 8L, 1L),
+      (1L, 0, 11, 12L, 5L),
+      (2L, 2, 9, 8L, 1L)))
+    // the merge invariant: span_tokens = L and n_dup_windows = L-k+1
+    got.foreach { case (_, s, e, st, nw) =>
+      assert(st === (e - s + 1).toLong)
+      assert(nw === st - K + 1)
+    }
+  }
+
+  test("extents of overlapping-but-distinct shared spans stay maximal runs") {
+    import spark.implicits._
+    // doc A shares tokens [0,9] with B and [5,14] with C: A's duplicated
+    // windows are 0..2 (from B) and 5..7 (from C) — window 3,4 cover
+    // tokens crossing the seam and match nobody, so A gets TWO extents
+    val a = (0 until 15).map(i => s"v$i")
+    val fixture = Seq(
+      (0L, a.mkString(" ")),
+      (1L, (a.take(10) ++ Seq("bb1", "bb2")).mkString(" ")),
+      (2L, (Seq("cc1", "cc2") ++ a.slice(5, 15)).mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanExtents(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 0: windows 0..2 -> extent [0,9]; windows 5..7 -> extent [5,14]
+    assert(got.filter(_._1 == 0L).toSeq === Seq((0L, 0, 9), (0L, 5, 14)))
+  }
+
   test("plan: gram-keyed equi-joins only, no cartesian, no pair join") {
     val df = Dedup.ddDupSpans(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString

@@ -22,6 +22,7 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(gate.ivfCells === rule.ivfCells)
     assert(gate.kmeansCells === rule.kmeansCells)
     assert(gate.seqPackShards === rule.seqPackShards)
+    assert(gate.shuffleShards === rule.shuffleShards)
     // SemDeDup shares the learned-quantizer operating point
     assert(Dedup.SemdedupK === graft.queries.Similarity.KmeansK)
     // the ONE deliberate divergence: the oracled embed-LSH pins r=8
@@ -39,13 +40,18 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(m.kmeansCells === 16384)
     assert(ScaleConfig.forCorpus(1000000L).kmeansCells === 512)
     assert(m.seqPackShards === 15259)
+    // shuffle shards: seqPack's target snapped UP to a power of two
+    // (the shard id is a bit-range of the 32-bit coin)
+    assert(m.shuffleShards === 16384)
+    assert(ScaleConfig.forCorpus(1000000L).shuffleShards === 16)
     // monotone non-decreasing in n, for every knob
     val ns = Seq(500L, 10000L, 1000000L, 100000000L, 10000000000L)
     val rs = ns.map(ScaleConfig.forCorpus)
     def mono(f: ScaleConfig.Resolved => Int) =
       rs.map(f).sliding(2).forall(w => w(0) <= w(1))
     assert(mono(_.minhashHashes) && mono(_.embedLshRowsPerBand) &&
-      mono(_.ivfBits) && mono(_.kmeansCells) && mono(_.seqPackShards))
+      mono(_.ivfBits) && mono(_.kmeansCells) && mono(_.seqPackShards) &&
+      mono(_.shuffleShards))
   }
 
   test("the gate minhash constants stay internally consistent") {

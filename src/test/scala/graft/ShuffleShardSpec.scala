@@ -48,4 +48,30 @@ class ShuffleShardSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.sorted.toSeq ===
       (0 until TextAnalysis.ShuffleShards))
   }
+
+  test("a non-gate shard width keeps the permutation property (rule path)") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = TextAnalysis.shuffleShard(d, 32).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.length === 200)
+    // shard = top-5-bit coin range at width 32
+    rows.foreach { case (shard, _, docId, coin) =>
+      val expect = md5hex(s"graft-shuf-1|$docId").take(8)
+      assert(coin === expect)
+      assert(shard === (java.lang.Long.parseLong(expect, 16) >> 27).toInt)
+    }
+    // (shard, pos) concatenation is still the global (coin, doc_id) sort
+    val byShardPos = rows.sortBy(r => (r._1, r._2)).map(r => (r._4, r._3)).toSeq
+    assert(byShardPos === rows.map(r => (r._4, r._3)).sortBy(identity).toSeq)
+  }
+
+  test("the rule: power-of-two widths only, ~64k-doc target, gate floor 8") {
+    assert(TextAnalysis.shuffleShardsForN(500L) === TextAnalysis.ShuffleShards)
+    assert(TextAnalysis.shuffleShardsForN(1000000L) === 16)
+    assert(TextAnalysis.shuffleShardsForN(1000000000L) === 16384)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.shuffleShard(spark.range(1).toDF, 12)
+    }
+  }
 }
