@@ -93,6 +93,8 @@ object Pq {
 
   /** PQ codes: the nearest codeword per (vector, subspace) — M rows
     * per vector, the compressed representation the ADC scan reads.
+    * Every input column rides through (so [[IvfPq]]'s coarse cell id
+    * needs no vec-keyed re-join) plus the assigned `cid`.
     *
     * The argmin is an IN-ROW fold over the broadcast candidate array
     * in cid order (strict < keeps the lowest cid on ties — the same
@@ -111,7 +113,8 @@ object Pq {
         when(d2 < acc("d2"), struct(d2.as("d2"), c("cid").as("cid")))
           .otherwise(acc)
       })
-    withC.select(col("vec_id"), col("m"), best("cid").as("cid"), col("sv"))
+    withC.select(col("m") +: subs.columns.filter(_ != "m").map(col).toSeq :+
+      best("cid").as("cid"): _*)
   }
 
   /** Per-query ADC distance table: d(m, cid) for every codebook entry

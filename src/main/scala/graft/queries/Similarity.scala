@@ -305,6 +305,7 @@ object Similarity extends QueryModule {
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_int8_topk" -> (simInt8Topk _),
     "sim_pq" -> (simPq _),
+    "sim_ivfpq" -> (IvfPq.simIvfPq _),
   )
 
   private val dotSql =
@@ -463,5 +464,6 @@ object Similarity extends QueryModule {
          |  FROM scored)
          |SELECT query_id, rank, vec_id, round(qcos, 6) AS qcos
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivfpq" -> IvfPq.oracleSql,
   )
 }

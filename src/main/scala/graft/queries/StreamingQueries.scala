@@ -445,7 +445,7 @@ object StreamingQueries extends QueryModule {
   def stDedupRocksDb(s: SparkSession, dir: String): DataFrame =
     stDedupCore(s, dir, "st_dedup_rocksdb", rocksDb = true)
 
-  private val RocksDbProvider =
+  private[graft] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Progress JSON of the most recent [[stDedupCore]] run, for

@@ -128,6 +128,26 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream join recovers its two-sided state across a checkpoint restart") {
+    joinRecoveryCycle(spark, rocksDb = false)
+  }
+
+  test("the SAME kill-and-restore cycle recovers from a RocksDB checkpoint") {
+    // r6 pinned recovery on the heap provider and RocksDB eviction
+    // separately; this closes the composition — state written by
+    // RocksDBStateStoreProvider, crash, restore FROM the RocksDB
+    // checkpoint files, with the provider asserted from progress JSON
+    // on the restarted query.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.queries.StreamingQueries.RocksDbProvider)
+    joinRecoveryCycle(ns, rocksDb = true)
+  }
+
+  /** The three-phase kill-and-restore cycle, parameterized on the
+    * session (and so on the state store provider it carries).
+    */
+  private def joinRecoveryCycle(spark: org.apache.spark.sql.SparkSession,
+      rocksDb: Boolean): Unit = {
     import spark.implicits._
     // st_join's three-phase eviction model with a CRASH between phase 2
     // and phase 3: the restarted query must recover both sides' join
@@ -193,6 +213,11 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       // non-vacuity: the restarted query genuinely ingested phase 3
       assert(q2.recentProgress.map(_.numInputRows).sum > 0L)
+      // the restarted query runs on the session's provider: rocksdb*
+      // custom metrics exist in progress iff RocksDB is active
+      val progress = q2.recentProgress.map(_.json).mkString("\n")
+      assert(progress.contains("rocksdb") === rocksDb,
+        s"provider mismatch (rocksDb=$rocksDb) in restarted progress:\n$progress")
     } finally q2.stop()
     val pairs = spark.read.parquet(out)
       .groupBy("error_id", "user_id").count()
