@@ -2,26 +2,35 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scale-study driver for the RULE-RESOLVED embed-LSH configuration —
-  * the measurement [[graft.queries.Dedup.embedLshPairs]] exists for.
+/** Scale-study driver for the RULE-RESOLVED operator configurations —
+  * the measurements the n-adaptive rules in [[ScaleConfig]] exist for.
   *
-  * The oracled `dd_embed_lsh` keeps its fixed r=8/B=24 gate banding
-  * (static oracle SQL can't depend on runtime n), and that fixed r has
-  * a documented quadratic wall: expected chance collisions per band are
-  * n²/2^r, fine at the gate scale, catastrophic two decades up (at
-  * 200 k diverse vectors it built a 69 GB candidate shuffle and ran the
-  * box out of disk). A production pipeline calls [[Dedup.lshRowsForN]]
-  * with its corpus size; this main measures THAT path at whatever scale
-  * directory it is pointed at, with Bench's timing discipline (warm-up
-  * pass, N timed passes, caches cleared between passes, min reported).
+  * The oracled queries keep their fixed gate configs (static oracle
+  * SQL can't depend on runtime n), and a fixed config has a documented
+  * quadratic wall wherever a blocking-key population is divided among
+  * a constant number of buckets:
   *
-  * Usage: runMain graft.ScaleStudy <sfDir> [passes]
+  *   - `embed_lsh`: expected chance collisions per band are n²/2^r —
+  *     fine at gate scale, catastrophic two decades up (at 200 k
+  *     diverse vectors the fixed r=8 built a 69 GB candidate shuffle
+  *     and ran the box out of disk). Rule: [[Dedup.lshRowsForN]].
+  *   - `semdedup`: the within-cell pair join is Σ|cell|² ≈ n²/k at
+  *     fixed k. Rule: [[Similarity.kmeansCellsForN]] (cells ≈ √n ⇒
+  *     join cost ≈ n^1.5) — the SAME wall shape, one rule over.
+  *
+  * A production pipeline calls the rule with its corpus size; this
+  * main measures THAT path at whatever scale directory it is pointed
+  * at, with Bench's timing discipline (warm-up pass, N timed passes,
+  * caches cleared between passes, min reported).
+  *
+  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup]
   * Prints one JSON line; never run concurrently with Bench.
   */
 object ScaleStudy {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val passes = if (args.length > 1) args(1).toInt else 3
+    val study = if (args.length > 2) args(2) else "embed_lsh"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,12 +41,32 @@ object ScaleStudy {
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.core.FanOut(graft.sources.Tables(spark, sfDir).embeddings)
     val n = emb.count()
-    val r = graft.queries.Dedup.lshRowsForN(n)
-    val bands = graft.queries.Dedup.LshBands
+    // resolve the rule once, report it in the record
+    val (metric, config, run): (String, String, () => Unit) = study match {
+      case "embed_lsh" =>
+        val r = graft.queries.Dedup.lshRowsForN(n)
+        val bands = graft.queries.Dedup.LshBands
+        ("dd_embed_lsh_rule", s""""rows_per_band":$r,"bands":$bands""",
+          () => graft.queries.Dedup.embedLshPairs(emb, r, bands)
+            .write.format("noop").mode("overwrite").save())
+      case "semdedup" =>
+        val k = graft.queries.Similarity.kmeansCellsForN(n)
+        val iters = graft.queries.Dedup.SemdedupIters
+        ("dd_semdedup_rule", s""""k":$k,"iters":$iters""",
+          () => {
+            // fresh centroid sink per pass — training is INSIDE the
+            // measured query, exactly like the oracled dd_semdedup
+            val dir = java.nio.file.Files
+              .createTempDirectory("graft_semdedup_study_").toString
+            graft.queries.Dedup.semdedup(
+                emb.select("vec_id", "embedding"), dir, k, iters)
+              .write.format("noop").mode("overwrite").save()
+          })
+      case other => sys.error(s"unknown study '$other' (embed_lsh|semdedup)")
+    }
     def once(): Double = {
       val t0 = System.nanoTime()
-      graft.queries.Dedup.embedLshPairs(emb, r, bands)
-        .write.format("noop").mode("overwrite").save()
+      run()
       // capture elapsed BEFORE cache teardown — Bench's timing window
       // ends at the noop write too; clearCache is inter-pass hygiene,
       // not part of the measured plan cost
@@ -48,8 +77,8 @@ object ScaleStudy {
     once() // warm-up (JIT + scan cache), untimed — same discipline as Bench
     val samples = (1 to passes).map(_ => once())
     spark.stop()
-    println(s"""{"metric":"dd_embed_lsh_rule","n":$n,"rows_per_band":$r,""" +
-      s""""bands":$bands,"samples":[${samples.mkString(",")}],""" +
+    println(s"""{"metric":"$metric","n":$n,$config,""" +
+      s""""samples":[${samples.mkString(",")}],""" +
       s""""min":${samples.min},"sf":"$sfDir"}""")
   }
 }

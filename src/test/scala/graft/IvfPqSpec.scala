@@ -24,13 +24,15 @@ class IvfPqSpec extends SparkSpec {
     rows.groupBy(_.getLong(q)).view.mapValues(_.map(_.getLong(v)).toSet).toMap
 
   test("residual PQ recalls >= plain PQ at equal code budget (and >> chance)") {
-    // sf0.01, not the 500-vector gate corpus: with only ~31 vectors
-    // per cell the 3-of-16 probe restriction dominates every quantizer
-    // effect (the comparison there measures cell occupancy, not
-    // residual quantization). At 5 000 vectors the cells are
-    // realistically occupied and the paper's §IV claim is what gets
-    // measured. Deterministic training → both recalls are constants.
-    val bigDir = "/root/testdata/sf0.01"
+    // sf0.1 (2 000 vectors), not a 500-vector gate corpus: with only
+    // ~31 vectors per cell the 3-of-16 probe restriction dominates
+    // every quantizer effect and the comparison is a coin flip over
+    // the corpus draw (measured: ivfpq loses 0.233 vs 0.267 on the
+    // sf0.001 draw, wins 0.333 vs 0.233 on the sf0.01 draw). At ~125
+    // per cell the cells are realistically occupied and the paper's
+    // §IV claim is what gets measured. Deterministic training → both
+    // recalls are constants.
+    val bigDir = "/root/testdata/sf0.1"
     val ivfpq = topSets(IvfPq.simIvfPq(spark, bigDir).collect())
     val pq = topSets(Similarity.defs("sim_pq")(spark, bigDir).collect())
 
@@ -58,8 +60,8 @@ class IvfPqSpec extends SparkSpec {
     // The margin is the paper's §IV claim reproduced: residuals have
     // far lower variance than the raw vectors, so the same K^M code
     // space quantizes them tighter — worth more than the 3-of-16-cell
-    // probe restriction costs (measured: 0.333 vs 0.233).
-    info(f"recall@3 at sf0.01: ivfpq=$rIvf%.3f plain pq=$rPq%.3f (chance ~0.0006)")
+    // probe restriction costs (measured: 0.400 vs 0.333).
+    info(f"recall@3 at sf0.1: ivfpq=$rIvf%.3f plain pq=$rPq%.3f (chance ~0.0015)")
     assert(rIvf >= rPq, f"residual PQ must not recall worse: $rIvf%.3f < $rPq%.3f")
     assert(rIvf >= 0.2, f"recall collapsed toward chance: $rIvf%.3f")
   }

@@ -35,6 +35,31 @@ class SemdedupSpec extends SparkSpec {
     assert(out.filter(_._3).map(_._1).toSet === Set(0L, 3L, 4L, 5L))
   }
 
+  test("a non-gate cell count keeps the keep/drop contract (rule path)") {
+    import spark.implicits._
+    // k = 4 ≠ the oracled 16 — the kmeansCellsForN-resolved path a
+    // production run takes. Same construction as the k=16 fixture:
+    // identical copies MUST collapse to the lowest id regardless of
+    // how the cell space is carved, and mutually-orthogonal vectors
+    // never drop each other (cosine 0 < threshold in ANY shared cell).
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val fixture = Seq(
+      0L -> e1, 1L -> e1, 2L -> e1,
+      3L -> e2, 4L -> e2,
+      5L -> Array(0f, 0f, 1f, 0f),
+      6L -> Array(0f, 0f, 0f, 1f),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semdedup(fixture,
+        core.TempDirs.create("graft_semdedup_spec_k4"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    assert(cellOf(0L) === cellOf(1L) && cellOf(1L) === cellOf(2L))
+    assert(cellOf(3L) === cellOf(4L))
+    assert(out.map(_._2).distinct.length <= 4, "at most k cells may appear")
+    assert(out.filter(_._3).map(_._1).toSet === Set(0L, 3L, 5L, 6L))
+  }
+
   test("gate corpus: dropped ⇔ a lower-id same-cell neighbor at the threshold") {
     val out = Dedup.ddSemdedup(spark, sfDir).persist()
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
