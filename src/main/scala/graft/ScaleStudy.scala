@@ -17,13 +17,16 @@ import org.apache.spark.sql.SparkSession
   *   - `semdedup`: the within-cell pair join is Σ|cell|² ≈ n²/k at
   *     fixed k. Rule: [[Similarity.kmeansCellsForN]] (cells ≈ √n ⇒
   *     join cost ≈ n^1.5) — the SAME wall shape, one rule over.
+  *   - `ivfpq`: the probed-cell ADC candidate volume is
+  *     probes × n/k per query — linear drift, not a wall, but the
+  *     same fixed-k erosion. Rule: [[Similarity.kmeansCellsForN]].
   *
   * A production pipeline calls the rule with its corpus size; this
   * main measures THAT path at whatever scale directory it is pointed
   * at, with Bench's timing discipline (warm-up pass, N timed passes,
   * caches cleared between passes, min reported).
   *
-  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup]
+  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup|ivfpq]
   * Prints one JSON line; never run concurrently with Bench.
   */
 object ScaleStudy {
@@ -62,7 +65,22 @@ object ScaleStudy {
                 emb.select("vec_id", "embedding"), dir, k, iters)
               .write.format("noop").mode("overwrite").save()
           })
-      case other => sys.error(s"unknown study '$other' (embed_lsh|semdedup)")
+      case "ivfpq" =>
+        val k = graft.queries.Similarity.kmeansCellsForN(n)
+        val probes = graft.queries.IvfPq.Probes
+        ("sim_ivfpq_rule", s""""coarse_k":$k,"probes":$probes""",
+          () => {
+            // fresh model sinks per pass — BOTH trainings are INSIDE
+            // the measured query, exactly like the oracled sim_ivfpq
+            val cd = java.nio.file.Files
+              .createTempDirectory("graft_ivfpq_study_cent_").toString
+            val bd = java.nio.file.Files
+              .createTempDirectory("graft_ivfpq_study_cb_").toString
+            graft.queries.IvfPq.ivfPqCore(
+                emb.select("vec_id", "embedding"), cd, bd, coarseK = k)
+              .write.format("noop").mode("overwrite").save()
+          })
+      case other => sys.error(s"unknown study '$other' (embed_lsh|semdedup|ivfpq)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

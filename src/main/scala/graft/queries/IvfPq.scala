@@ -106,26 +106,45 @@ object IvfPq {
     * distances. A wrong residual, a drifted codeword, or a probe leak
     * (a candidate scored from an unprobed cell) all hash-fail.
     */
-  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val vectors = graft.core.FanOut(Tables(s, dir).embeddings)
-      .select(col("vec_id"), col("embedding"))
-    KmeansIvf.train(vectors, CoarseK, CoarseIters)
-      .write.mode("overwrite").parquet(CoarseCentroidDir)
+  def simIvfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqCore(graft.core.FanOut(Tables(s, dir).embeddings)
+        .select(col("vec_id"), col("embedding")),
+      CoarseCentroidDir, ResidualCodebookDir)
+
+  /** Core of [[simIvfPq]], parameterized on the vector set, the model
+    * sinks, and the COARSE CELL COUNT k — the same discipline as
+    * [[Dedup.semdedup]]: the probed-cell candidate volume is
+    * probes × n/k per query, so k must grow with n
+    * ([[Similarity.kmeansCellsForN]], cells ≈ √n) or the restricted
+    * ADC scan degrades toward the full scan the cells exist to avoid.
+    * The oracled gate pins k = [[CoarseK]] (= kmeansCellsForN at gate
+    * n); [[graft.ScaleStudy]]'s `ivfpq` study measures the
+    * rule-resolved path at larger n.
+    */
+  private[graft] def ivfPqCore(vectors: DataFrame,
+      centDir: String, cbDir: String,
+      coarseK: Int = CoarseK, coarseIters: Int = CoarseIters,
+      probes: Int = Probes): DataFrame = {
+    require(coarseK > 0 && coarseIters > 0 && probes > 0,
+      s"need positive k/iters/probes, got $coarseK/$coarseIters/$probes")
+    val s = vectors.sparkSession
+    KmeansIvf.train(vectors, coarseK, coarseIters)
+      .write.mode("overwrite").parquet(centDir)
     // read BACK so everything downstream provably uses the tables the
     // oracle will read — not a diverging in-memory lineage
-    val cent = s.read.parquet(CoarseCentroidDir)
+    val cent = s.read.parquet(centDir)
     val res = assignResiduals(vectors, cent)
     val subs = subvectorsWithCell(res)
     Pq.train(subs.select(col("vec_id"), col("m"), col("sv")), Pq.PqK, Pq.PqIters)
-      .write.mode("overwrite").parquet(ResidualCodebookDir)
-    val cb = s.read.parquet(ResidualCodebookDir)
+      .write.mode("overwrite").parquet(cbDir)
+    val cb = s.read.parquet(cbDir)
     // codes: (cell, vec_id, m, cid) — in-row argmin over the broadcast
     // codebook; the cell column rides through encode untouched
     val codes = Pq.encode(subs, cb)
       .select(col("cell"), col("vec_id"), col("m"), col("cid"))
     // per-(query, probed cell) residuals: the SAME assignResiduals
     // arithmetic applied to the probe list instead of the argmin cell
-    val qres = KmeansIvf.probeCells(vectors.where(col("vec_id") < 10), cent, Probes)
+    val qres = KmeansIvf.probeCells(vectors.where(col("vec_id") < 10), cent, probes)
       .select(col("vec_id"), col("cell"))
       .join(vectors.where(col("vec_id") < 10), Seq("vec_id"))
       .join(broadcast(cent.select(col("cid").as("cell"),

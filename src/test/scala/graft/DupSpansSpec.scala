@@ -98,14 +98,16 @@ class DupSpansSpec extends SparkSpec {
   }
 
   test("plan: gram-keyed equi-joins only, no cartesian, no pair join") {
-    val df = Dedup.ddDupSpans(spark, "/root/testdata/sf0.001")
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
-    val keyed = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[([a-z0-9_]+)#"
-      .r.findAllMatchIn(p).map(_.group(1)).toList
-    assert(keyed.nonEmpty && keyed.forall(_ == "gh"),
-      s"every join must key on the gram hash, got $keyed:\n$p")
+    for (q <- Seq(Dedup.ddDupSpans(spark, "/root/testdata/sf0.001"),
+        Dedup.ddDupSpanExtents(spark, "/root/testdata/sf0.001"))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
+      val keyed = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[([a-z0-9_]+)#"
+        .r.findAllMatchIn(p).map(_.group(1)).toList
+      assert(keyed.nonEmpty && keyed.forall(_ == "gh"),
+        s"every join must key on the gram hash, got $keyed:\n$p")
+    }
     spark.catalog.clearCache()
   }
 }
