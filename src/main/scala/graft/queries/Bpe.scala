@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge-rule TRAINING (Sennrich, Haddow, Birch
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units", ACL — the tokenizer-training step every pretraining
+  * pipeline runs before anything else): start from characters, then
+  * repeatedly (1) count adjacent symbol pairs over the corpus,
+  * (2) take the most frequent pair, (3) merge it into one symbol
+  * everywhere, emitting one merge RULE per round — the learned
+  * vocabulary is exactly the rule list.
+  *
+  * The 100 TB shape, which is also the paper's: BPE trains on the
+  * WORD-FREQUENCY TABLE, not the token stream — so the only
+  * corpus-scale stage is one word-count aggregate (the same
+  * partial-agg shuffle as wc_word_count; at 100 TB that is the
+  * wc-shaped pass this engine already optimizes). Everything after
+  * operates on the distinct-word table (Heaps' law: ~10⁶–10⁸ rows at
+  * corpus scale — still a DataFrame, never a driver structure): per
+  * round, one pair-count aggregate over it, one argmax via
+  * orderBy().limit(1) (planned TakeOrdered — a 1-row answer, no
+  * global sort materialization), and one broadcast of that 1-row rule
+  * into a per-row merge fold. No collect anywhere; rounds are bounded
+  * by the requested merge count with lineage truncated per round.
+  *
+  * Merge semantics are the standard greedy left-to-right
+  * non-overlapping single-pass replace (("a","a") on "a a a" yields
+  * "aa a"; the NEW symbol never re-merges within the same round —
+  * chaining happens across rounds), implemented as a string-state
+  * left fold over the symbol array: state = res ␟ pend, each symbol
+  * either completes the pair with pend, or flushes pend and becomes
+  * it. The identical fold (same branch conditions, same separators)
+  * runs in DuckDB via list_reduce, so the oracle replays every round
+  * bit-for-bit — ties on the pair count break (count DESC, left,
+  * right), all-integer, engine-exact.
+  */
+object Bpe {
+
+  /** Gate config: 4 merge rounds — enough to pin cross-round chaining
+    * (round-k merged symbols feeding round-k+1 pairs) under the
+    * oracle; the rule list is the output, so the round count is an
+    * output-size knob, not an n-scaling knob.
+    */
+  private[graft] val BpeMerges = 4
+
+  /** State separator for the merge fold — U+001F (unit separator).
+    * Structural precondition (shared with the oracle, which writes
+    * chr(31)): symbols never contain it — tokens cannot contain the
+    * space ByteSplit splits on, and U+001F inside document text is
+    * outside both engines' replay contract.
+    */
+  private val Sep = "\u001f"
+
+  /** append with a space separator, skipping the empty-res case */
+  private def app(res: Column, s: Column): Column =
+    when(res === "", s).otherwise(concat(res, lit(" "), s))
+
+  /** One greedy left-to-right merge pass of the pair (l, r) over a
+    * symbol array — the string-state fold described above.
+    */
+  private[graft] def mergePass(syms: Column, l: Column, r: Column): Column = {
+    val folded = aggregate(syms, lit(Sep), (acc, x) => {
+      val res = substring_index(acc, Sep, 1)
+      val pend = substring_index(acc, Sep, -1)
+      when(pend === l && x === r,
+        concat(app(res, concat(l, r)), lit(Sep)))
+        .when(pend === "", concat(res, lit(Sep), x))
+        .otherwise(concat(app(res, pend), lit(Sep), x))
+    })
+    val res = substring_index(folded, Sep, 1)
+    val pend = substring_index(folded, Sep, -1)
+    split(when(pend === "", res).otherwise(app(res, pend)), " ")
+  }
+
+  /** The corpus-scale stage: distinct words + frequencies + initial
+    * character symbol arrays. ByteSplit tokenization, same as every
+    * other ta_* query.
+    */
+  private def wordFreq(d: DataFrame): DataFrame =
+    d.select(explode(filter(graft.functions.ByteSplit.split(col("text")),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Adjacent-pair weighted counts over the current symbol table. */
+  private def pairCounts(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(expr(
+        "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
+          "(a, b) -> named_struct('l', a, 'r', b))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+
+  def taBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(graft.core.FanOut(graft.sources.Tables(s, dir).documents),
+      BpeMerges)
+
+  /** Core over any (text) frame so BpeTrainSpec can pin closed-form
+    * fixtures and fuzz against an independent implementation.
+    */
+  private[graft] def bpeTrain(d: DataFrame, merges: Int): DataFrame = {
+    require(merges > 0, s"need a positive merge count, got $merges")
+    var wf = wordFreq(d).localCheckpoint(eager = true)
+    var rules: DataFrame = null
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // argmax pair: TakeOrdered over the pair-count aggregate; the
+      // 1-row result is checkpointed so the rule row the output
+      // reports and the rule the merge applies are the same bits
+      val top = pairCounts(wf)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .withColumn("step", lit(step))
+        .localCheckpoint(eager = true)
+      if (top.isEmpty) {
+        // every word collapsed to one symbol — nothing left to merge
+        exhausted = true
+      } else {
+        rules = if (rules == null) top else rules.unionByName(top)
+        wf = wf.crossJoin(broadcast(
+            top.select(col("l").as("__l"), col("r").as("__r"))))
+          .select(col("word"), col("freq"),
+            mergePass(col("syms"), col("__l"), col("__r")).as("syms"))
+          .localCheckpoint(eager = true)
+        step += 1
+      }
+    }
+    rules
+      .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
+        concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
+      .orderBy("step")
+  }
+
+  /** The DuckDB replay: the identical word-frequency base, then
+    * [[BpeMerges]] unrolled rounds of pair-count → argmax → merge
+    * fold, each reading the previous round's symbol table.
+    */
+  private[graft] def oracleSql: String = {
+    val sep = "chr(31)"
+    def res(acc: String) = s"split_part($acc, $sep, 1)"
+    def pend(acc: String) = s"split_part($acc, $sep, 2)"
+    def appSql(r: String, s: String) =
+      s"(CASE WHEN $r = '' THEN $s ELSE $r || ' ' || $s END)"
+    // one merge pass of (tN.l, tN.r) over `syms`, as a reduced string
+    def mergeSql(t: String) =
+      s"""string_split((SELECT
+         |    CASE WHEN ${pend("f")} = '' THEN ${res("f")}
+         |         ELSE ${appSql(res("f"), pend("f"))} END
+         |  FROM (SELECT list_reduce(list_prepend($sep, syms), (acc, x) ->
+         |    CASE WHEN ${pend("acc")} = $t.l AND x = $t.r
+         |           THEN ${appSql(res("acc"), s"$t.l || $t.r")} || $sep
+         |         WHEN ${pend("acc")} = ''
+         |           THEN ${res("acc")} || $sep || x
+         |         ELSE ${appSql(res("acc"), pend("acc"))} || $sep || x
+         |    END) AS f)), ' ')""".stripMargin
+    def pairsCte(w: String): String =
+      s"""SELECT s.l AS l, s.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), i ->
+         |      struct_pack(l := syms[i], r := syms[i + 1]))) AS s
+         |    FROM $w)
+         |  GROUP BY s.l, s.r""".stripMargin
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (${pairsCte(s"w${k - 1}")}),
+         |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT word, freq, ${mergeSql(s"t$k")} AS syms FROM w${k - 1}, t$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ruleRows = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS step, l, r, cnt FROM t$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |$rounds,
+       |rules AS ($ruleRows)
+       |SELECT CAST(step AS INTEGER) AS step, l AS lhs, r AS rhs,
+       |  l || r AS merged, cnt AS pair_count
+       |FROM rules
+       |ORDER BY step""".stripMargin
+  }
+}

@@ -763,6 +763,7 @@ object TextAnalysis extends QueryModule {
     "ta_ppl_bucket" -> (taPplBucket _),
     "ta_classify" -> (taClassify _),
     "ta_classify_weighted" -> (taClassifyWeighted _),
+    "ta_bpe_train" -> (Bpe.taBpeTrain _),
     "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
@@ -837,6 +838,7 @@ object TextAnalysis extends QueryModule {
         |SELECT doc_id, n_tokens, CAST(margin AS BIGINT) AS margin,
         |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM m ORDER BY doc_id""".stripMargin,
+    "ta_bpe_train" -> Bpe.oracleSql,
     // the weights table REGENERATED in SQL (printf('%02x') over
     // range(256), same md5→[−128,127] arithmetic), then the
     // explode → left-join probe → per-doc margin sum replayed; an
