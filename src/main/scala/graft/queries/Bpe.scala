@@ -99,7 +99,19 @@ object Bpe {
   /** Core over any (text) frame so BpeTrainSpec can pin closed-form
     * fixtures and fuzz against an independent implementation.
     */
-  private[graft] def bpeTrain(d: DataFrame, merges: Int): DataFrame = {
+  private[graft] def bpeTrain(d: DataFrame, merges: Int): DataFrame =
+    trainState(d, merges)._1
+      .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
+        concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
+      .orderBy("step")
+
+  /** The training loop, returning BOTH outputs of a BPE run: the rule
+    * list (one row per round) and the final distinct-word symbol table
+    * (word, freq, syms) — the trained tokenizer's application to every
+    * corpus word. [[bpeTrain]] reads the first; the encode/vocab
+    * queries read the second.
+    */
+  private[graft] def trainState(d: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     require(merges > 0, s"need a positive merge count, got $merges")
     var wf = wordFreq(d).localCheckpoint(eager = true)
     var rules: DataFrame = null
@@ -126,60 +138,153 @@ object Bpe {
         step += 1
       }
     }
-    rules
-      .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
-        concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
-      .orderBy("step")
+    (rules, wf)
   }
 
-  /** The DuckDB replay: the identical word-frequency base, then
-    * [[BpeMerges]] unrolled rounds of pair-count → argmax → merge
-    * fold, each reading the previous round's symbol table.
+  /** Gate config for the vocab histogram: top 100 subwords (the gate
+    * corpus has far fewer — the limit is there so the output stays
+    * report-sized at any corpus scale, with a total (freq DESC,
+    * subword) order making the cutoff deterministic in both engines).
     */
-  private[graft] def oracleSql: String = {
-    val sep = "chr(31)"
-    def res(acc: String) = s"split_part($acc, $sep, 1)"
-    def pend(acc: String) = s"split_part($acc, $sep, 2)"
-    def appSql(r: String, s: String) =
-      s"(CASE WHEN $r = '' THEN $s ELSE $r || ' ' || $s END)"
-    // one merge pass of (tN.l, tN.r) over `syms`, as a reduced string
-    def mergeSql(t: String) =
-      s"""string_split((SELECT
-         |    CASE WHEN ${pend("f")} = '' THEN ${res("f")}
-         |         ELSE ${appSql(res("f"), pend("f"))} END
-         |  FROM (SELECT list_reduce(list_prepend($sep, syms), (acc, x) ->
-         |    CASE WHEN ${pend("acc")} = $t.l AND x = $t.r
-         |           THEN ${appSql(res("acc"), s"$t.l || $t.r")} || $sep
-         |         WHEN ${pend("acc")} = ''
-         |           THEN ${res("acc")} || $sep || x
-         |         ELSE ${appSql(res("acc"), pend("acc"))} || $sep || x
-         |    END) AS f)), ' ')""".stripMargin
-    def pairsCte(w: String): String =
-      s"""SELECT s.l AS l, s.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), i ->
-         |      struct_pack(l := syms[i], r := syms[i + 1]))) AS s
-         |    FROM $w)
-         |  GROUP BY s.l, s.r""".stripMargin
+  private[graft] val BpeVocabTop = 100
+
+  def taBpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeVocab(graft.core.FanOut(graft.sources.Tables(s, dir).documents),
+      BpeMerges, BpeVocabTop)
+
+  /** The learned vocabulary histogram: apply the trained merges to the
+    * distinct-word table (that application IS [[trainState]]'s final
+    * symbol table — no second pass over anything), then one
+    * subword-keyed aggregate. `freq` counts corpus occurrences
+    * (position count weighted by word frequency), `n_positions` counts
+    * distinct (word, position) slots. Corpus-scale cost: zero beyond
+    * training — the aggregate runs on the Heaps-law-sized word table.
+    */
+  private[graft] def bpeVocab(d: DataFrame, merges: Int, top: Int): DataFrame = {
+    val (_, wf) = trainState(d, merges)
+    wf.select(col("freq"), explode(col("syms")).as("subword"))
+      .groupBy("subword")
+      .agg(sum("freq").as("freq"), count(lit(1)).as("n_positions"))
+      .orderBy(col("freq").desc, col("subword"))
+      .limit(top)
+  }
+
+  def taBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(graft.core.FanOut(graft.sources.Tables(s, dir).documents),
+      BpeMerges)
+
+  /** Tokenizer APPLICATION: per-document BPE token counts — the number
+    * every pretraining pipeline actually budgets by (sequence packing,
+    * mixture weights, cost estimates all run on post-BPE token counts,
+    * not whitespace counts).
+    *
+    * The 100 TB shape: encoding a document never re-runs the merge
+    * fold per occurrence — the trained symbol table already maps every
+    * distinct WORD to its subword count, so application is one
+    * word-keyed equi-join between the exploded corpus and the
+    * Heaps-law-sized encode table (the same word-keyed exchange as
+    * wc_word_count; at gate scale the encode side auto-broadcasts).
+    * Documents whose token list is empty are dropped by the explode —
+    * identical to the oracle's unnest semantics.
+    */
+  private[graft] def bpeEncode(d: DataFrame, merges: Int): DataFrame = {
+    val (_, wf) = trainState(d, merges)
+    val enc = wf.select(col("word"),
+      size(col("syms")).cast("long").as("__n_sub"))
+    d.select(col("doc_id"),
+        explode(filter(graft.functions.ByteSplit.split(col("text")),
+          t => t =!= "")).as("word"))
+      .join(enc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("__n_sub").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // ----- DuckDB replay helpers (shared by all three BPE oracles) -----
+
+  private val OSep = "chr(31)"
+  private def oRes(acc: String) = s"split_part($acc, $OSep, 1)"
+  private def oPend(acc: String) = s"split_part($acc, $OSep, 2)"
+  private def oApp(r: String, s: String) =
+    s"(CASE WHEN $r = '' THEN $s ELSE $r || ' ' || $s END)"
+
+  /** one merge pass of (tN.l, tN.r) over `syms`, as a reduced string */
+  private def oMerge(t: String) =
+    s"""string_split((SELECT
+       |    CASE WHEN ${oPend("f")} = '' THEN ${oRes("f")}
+       |         ELSE ${oApp(oRes("f"), oPend("f"))} END
+       |  FROM (SELECT list_reduce(list_prepend($OSep, syms), (acc, x) ->
+       |    CASE WHEN ${oPend("acc")} = $t.l AND x = $t.r
+       |           THEN ${oApp(oRes("acc"), s"$t.l || $t.r")} || $OSep
+       |         WHEN ${oPend("acc")} = ''
+       |           THEN ${oRes("acc")} || $OSep || x
+       |         ELSE ${oApp(oRes("acc"), oPend("acc"))} || $OSep || x
+       |    END) AS f)), ' ')""".stripMargin
+
+  private def oPairs(w: String): String =
+    s"""SELECT s.l AS l, s.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), i ->
+       |      struct_pack(l := syms[i], r := syms[i + 1]))) AS s
+       |    FROM $w)
+       |  GROUP BY s.l, s.r""".stripMargin
+
+  /** The shared replay base: w0 (word frequencies + char symbols) and
+    * [[BpeMerges]] unrolled rounds of pair-count → argmax → merge fold,
+    * each reading the previous round's symbol table — ending at
+    * w[[BpeMerges]], the trained symbol table all three oracles read.
+    */
+  private lazy val oracleRoundCtes: String = {
     val rounds = (1 to BpeMerges).map { k =>
-      s"""p$k AS (${pairsCte(s"w${k - 1}")}),
+      s"""p$k AS (${oPairs(s"w${k - 1}")}),
          |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$k AS (SELECT word, freq, ${mergeSql(s"t$k")} AS syms FROM w${k - 1}, t$k)"""
+         |w$k AS (SELECT word, freq, ${oMerge(s"t$k")} AS syms FROM w${k - 1}, t$k)"""
         .stripMargin
     }.mkString(",\n")
-    val ruleRows = (1 to BpeMerges).map { k =>
-      s"SELECT $k AS step, l, r, cnt FROM t$k"
-    }.mkString(" UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
        |        FROM documents)
        |  GROUP BY word),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** The DuckDB replay of [[bpeTrain]]: the rule list, one row per
+    * unrolled round.
+    */
+  private[graft] def oracleSql: String = {
+    val ruleRows = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS step, l, r, cnt FROM t$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH $oracleRoundCtes,
        |rules AS ($ruleRows)
        |SELECT CAST(step AS INTEGER) AS step, l AS lhs, r AS rhs,
        |  l || r AS merged, cnt AS pair_count
        |FROM rules
        |ORDER BY step""".stripMargin
   }
+
+  /** Vocab-histogram replay: the trained symbol table's subword-keyed
+    * aggregate, same total order and cutoff as the engine.
+    */
+  private[graft] def vocabOracleSql: String =
+    s"""WITH ${oracleRoundCtes},
+       |pos AS (SELECT unnest(syms) AS subword, freq FROM w$BpeMerges)
+       |SELECT subword, CAST(sum(freq) AS BIGINT) AS freq,
+       |  CAST(count(*) AS BIGINT) AS n_positions
+       |FROM pos GROUP BY subword
+       |ORDER BY freq DESC, subword LIMIT $BpeVocabTop""".stripMargin
+
+  /** Encode replay: explode every document's words, join the trained
+    * symbol table, count post-BPE tokens per document.
+    */
+  private[graft] def encodeOracleSql: String =
+    s"""WITH ${oracleRoundCtes},
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN w$BpeMerges w USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -958,6 +958,73 @@ object Dedup extends QueryModule {
       .orderBy("cluster_id")
   }
 
+  /** Quality floor for [[ddManifest]]'s last gate — sits at the ~5th
+    * percentile of the gate corpus's quality distribution, so the
+    * low-quality branch is genuinely exercised under the oracle. Both
+    * engines compare the same round(…, 6) double to the same literal.
+    */
+  private[graft] val ManifestQualityFloor = 0.55
+
+  /** END-TO-END cleaning manifest — the composed keep/drop decision a
+    * pipeline actually executes, one row per document:
+    * exact-duplicate removal (fingerprint group, min-id keeper), then
+    * near-duplicate removal (minhash-LSH → verified pairs → connected
+    * components → per-cluster quality keep-best), then a quality
+    * floor. Reasons cascade in that order; `decision` is derived from
+    * `reason`. The cascade is consistent by construction: an exact-dup
+    * group shares all shingles (J = 1), so it lands in one cluster,
+    * and ties on (identical) quality break to the min doc_id — the
+    * cluster's keeper is never a doc the exact stage dropped.
+    *
+    * Scale shape: quality is ONE full-corpus scan-speed pass (the
+    * manifest needs every doc's score for the floor anyway, so
+    * ddKeepBest's semi-join-first trick would save nothing here); the
+    * fingerprint stage is a hash-aggregate on a 16-byte key; every
+    * join is a doc_id/fingerprint/cluster_id equi-join with the
+    * cluster side tiny relative to the corpus (AQE broadcasts it).
+    * The pair-join cost lives entirely inside [[ddCluster]], whose
+    * caps and banding rules are oracled separately.
+    */
+  def ddManifest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = ddCluster(s, dir).persist()
+    clusters.count() // settle: read by keep-best scoring AND membership
+    settled(manifestOf(graft.sources.Tables(s, dir).documents, clusters),
+      clusters)
+  }
+
+  /** Core over any (docs, clusters) pair so ManifestSpec can pin the
+    * cascade on closed-form fixtures (incl. the exact-dup branch the
+    * all-unique gate corpus never fires).
+    */
+  private[graft] def manifestOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+    val exact = fp.join(
+        fp.groupBy("fingerprint").agg(min("doc_id").as("__xk")), "fingerprint")
+      .select(col("doc_id"), (col("doc_id") =!= col("__xk")).as("__exact_drop"))
+    val q = TextAnalysis.qualityOf(docs).select("doc_id", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    val kb = clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("__keep_id"))
+    val near = clusters.join(kb, "cluster_id")
+      .select(col("doc_id"), (col("doc_id") =!= col("__keep_id")).as("__near_drop"))
+    docs.select("doc_id")
+      .join(exact, "doc_id")
+      .join(near, Seq("doc_id"), "left_outer")
+      .join(q, "doc_id")
+      .withColumn("reason",
+        when(col("__exact_drop"), "exact_dup")
+          .when(coalesce(col("__near_drop"), lit(false)), "near_dup")
+          .when(col("quality") < ManifestQualityFloor, "low_quality")
+          .otherwise("ok"))
+      .select(col("doc_id"),
+        when(col("reason") === "ok", "keep").otherwise("drop").as("decision"),
+        col("reason"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** LEAKAGE-FREE train/val/test split — the assignment step a training
     * pipeline runs AFTER near-dup clustering: a doc's split is decided
     * by the hash-coin of its CLUSTER's canonical id (its own id when
@@ -1077,6 +1144,7 @@ object Dedup extends QueryModule {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_keep_best" -> (ddKeepBest _),
+    "dd_manifest" -> (ddManifest _),
     "dd_split" -> (ddSplit _),
     "dd_contam" -> (ddContam _),
     "dd_cluster" -> (ddCluster _),
@@ -1289,6 +1357,55 @@ object Dedup extends QueryModule {
          |  CAST(m.n_members AS INTEGER) AS n_members, s.quality AS best_quality
          |FROM sel s JOIN m USING (cluster_id)
          |WHERE s.rn = 1 ORDER BY s.cluster_id""".stripMargin,
+    // the full cascade: the cluster closure + keep-best selection +
+    // exact-fingerprint groups + the quality floor, folded into one
+    // per-document CASE — same precedence order as the engine
+    "dd_manifest" ->
+      s"""$clusterCte, q AS (
+         |  SELECT doc_id,
+         |    round(0.5::DOUBLE * least(1.0::DOUBLE, n_tokens::DOUBLE / 50.0::DOUBLE)
+         |      + 0.5::DOUBLE * (n_distinct::DOUBLE / n_tokens), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |      len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct
+         |    FROM documents)
+         |), sel AS (
+         |  SELECT c.cluster_id, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM c JOIN q USING (doc_id)
+         |), kb AS (
+         |  SELECT cluster_id, doc_id AS keep_id FROM sel WHERE rn = 1
+         |), near AS (
+         |  SELECT c.doc_id, kb.keep_id FROM c JOIN kb USING (cluster_id)
+         |), fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |  FROM documents
+         |), xk AS (
+         |  SELECT fingerprint, min(doc_id) AS xk FROM fp GROUP BY fingerprint
+         |), m AS (
+         |  SELECT d.doc_id,
+         |    (fp.doc_id <> xk.xk) AS exact_drop,
+         |    coalesce(near.doc_id <> near.keep_id, false) AS near_drop,
+         |    q.quality
+         |  FROM documents d
+         |  JOIN fp ON fp.doc_id = d.doc_id
+         |  JOIN xk ON xk.fingerprint = fp.fingerprint
+         |  LEFT JOIN near ON near.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN exact_drop OR near_drop
+         |         OR quality < $ManifestQualityFloor THEN 'drop'
+         |       ELSE 'keep' END AS decision,
+         |  CASE WHEN exact_drop THEN 'exact_dup'
+         |       WHEN near_drop THEN 'near_dup'
+         |       WHEN quality < $ManifestQualityFloor THEN 'low_quality'
+         |       ELSE 'ok' END AS reason,
+         |  quality
+         |FROM m ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok

@@ -64,6 +64,32 @@ object IvfPq {
   private[graft] lazy val ResidualCodebookDir = java.nio.file.Files
     .createTempDirectory("graft_ivfpq_codebooks_").toString
 
+  /** Fixed-size training-sample cap for [[simIvfPqSampled]] — 8×k at
+    * the gate operating point. The production contract this pins: at
+    * corpus scale BOTH trainings run on a bounded deterministic sample
+    * (the Scaladoc note on [[KmeansIvf]] prescribes it), so training
+    * cost is O(sample × k × iters) — INDEPENDENT of n — while
+    * assignment/encode/search still cover every vector. The sample is
+    * the [[SampleCap]] smallest md5-coins: stateless, rerun- and
+    * partition-independent, and planned as a TakeOrdered (scan +
+    * per-partition top-k), never a full sort.
+    */
+  private[graft] val SampleCap = 128
+
+  /** The deterministic training coin (same stateless-md5 discipline as
+    * [[Dedup.ddSplitWith]] / [[TextAnalysis.taSample]]).
+    */
+  private[graft] def sampleCoin: Column =
+    md5(concat(lit("graft-ivfpq-sample|"), col("vec_id").cast("string")))
+
+  /** Model sinks for the sampled variant — same persistence contract
+    * as [[CoarseCentroidDir]].
+    */
+  private[graft] lazy val SampledCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_ivfpqs_centroids_").toString
+  private[graft] lazy val SampledCodebookDir = java.nio.file.Files
+    .createTempDirectory("graft_ivfpqs_codebooks_").toString
+
   /** The residual v − c(cell), computed in double and rounded ONCE to
     * float32 — the same arithmetic DuckDB replays with
     * `(v[i]::DOUBLE − c[i]::DOUBLE)::REAL`, so the residual corpus the
@@ -111,6 +137,21 @@ object IvfPq {
         .select(col("vec_id"), col("embedding")),
       CoarseCentroidDir, ResidualCodebookDir)
 
+  /** IVFADC with BOTH trainings on a fixed-size deterministic sample
+    * ([[SampleCap]]) — the corpus-scale training path: model cost stops
+    * scaling with n, search still covers every vector. Downstream of
+    * training the query is [[simIvfPq]] verbatim, and the oracle
+    * replays the identical SQL against the sampled model tables — a
+    * model that silently saw out-of-sample data during training cannot
+    * hash-match (IvfPqSampledSpec additionally re-trains the coarse
+    * table from an independently-computed sample and pins bit-equality
+    * with what this query persisted).
+    */
+  def simIvfPqSampled(s: SparkSession, dir: String): DataFrame =
+    ivfPqCore(graft.core.FanOut(Tables(s, dir).embeddings)
+        .select(col("vec_id"), col("embedding")),
+      SampledCentroidDir, SampledCodebookDir, trainCap = Some(SampleCap))
+
   /** Core of [[simIvfPq]], parameterized on the vector set, the model
     * sinks, and the COARSE CELL COUNT k — the same discipline as
     * [[Dedup.semdedup]]: the probed-cell candidate volume is
@@ -124,18 +165,31 @@ object IvfPq {
   private[graft] def ivfPqCore(vectors: DataFrame,
       centDir: String, cbDir: String,
       coarseK: Int = CoarseK, coarseIters: Int = CoarseIters,
-      probes: Int = Probes): DataFrame = {
+      probes: Int = Probes, trainCap: Option[Int] = None): DataFrame = {
     require(coarseK > 0 && coarseIters > 0 && probes > 0,
       s"need positive k/iters/probes, got $coarseK/$coarseIters/$probes")
     val s = vectors.sparkSession
-    KmeansIvf.train(vectors, coarseK, coarseIters)
+    // training set: everything, or the trainCap smallest sample coins
+    // (TakeOrdered — no full sort; vec_id tiebreak for determinism)
+    val trainVecs = trainCap match {
+      case Some(cap) => vectors.orderBy(sampleCoin, col("vec_id")).limit(cap)
+      case None => vectors
+    }
+    KmeansIvf.train(trainVecs, coarseK, coarseIters,
+        seedSmallest = trainCap.isDefined)
       .write.mode("overwrite").parquet(centDir)
     // read BACK so everything downstream provably uses the tables the
     // oracle will read — not a diverging in-memory lineage
     val cent = s.read.parquet(centDir)
     val res = assignResiduals(vectors, cent)
     val subs = subvectorsWithCell(res)
-    Pq.train(subs.select(col("vec_id"), col("m"), col("sv")), Pq.PqK, Pq.PqIters)
+    // codebooks likewise train only on the sample's residuals
+    val trainSubs = trainCap match {
+      case Some(_) => subvectorsWithCell(assignResiduals(trainVecs, cent))
+      case None => subs
+    }
+    Pq.train(trainSubs.select(col("vec_id"), col("m"), col("sv")), Pq.PqK,
+        Pq.PqIters, seedSmallest = trainCap.isDefined)
       .write.mode("overwrite").parquet(cbDir)
     val cb = s.read.parquet(cbDir)
     // codes: (cell, vec_id, m, cid) — in-row argmin over the broadcast
@@ -189,14 +243,23 @@ object IvfPq {
 
   /** The DuckDB replay — assignment, residuals, codes, probed-cell ADC,
     * ranking — over the two tables the engine trained and persisted.
+    * Shared verbatim by the full and sampled variants: past training,
+    * the two queries ARE the same query, just against different model
+    * tables.
     */
   private[graft] def oracleSql: String =
+    oracleSqlFor(CoarseCentroidDir, ResidualCodebookDir)
+
+  private[graft] def sampledOracleSql: String =
+    oracleSqlFor(SampledCentroidDir, SampledCodebookDir)
+
+  private def oracleSqlFor(centDir: String, cbDir: String): String =
     s"""WITH cent AS (
        |  SELECT cid, centroid
-       |  FROM read_parquet('$CoarseCentroidDir/*.parquet')),
+       |  FROM read_parquet('$centDir/*.parquet')),
        |cb AS (
        |  SELECT m, cid, centroid
-       |  FROM read_parquet('$ResidualCodebookDir/*.parquet')),
+       |  FROM read_parquet('$cbDir/*.parquet')),
        |d0 AS (
        |  SELECT e.vec_id, e.embedding, cent.cid,
        |    ${dotSql("embedding", "embedding")}

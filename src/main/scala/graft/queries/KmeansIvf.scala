@@ -116,9 +116,19 @@ object KmeansIvf {
     * is the first k vectors by id (deterministic). Re-estimation is the
     * bounded-memory fixed-point mean of [[reestimate]]. Empty cells
     * keep their previous centroid (left anti join refill).
+    *
+    * `seedSmallest` handles training sets whose ids are NOT dense from
+    * 0 (a deterministic sample): seeds become the k smallest ids
+    * PRESENT (TakeOrdered — no full sort). On a dense id space that is
+    * the identical seed set to the default filter, which is kept for
+    * the oracled full-corpus paths so their plans don't change.
     */
-  def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = vectors.where(col("vec_id") < k)
+  def train(vectors: DataFrame, k: Int, iters: Int,
+      seedSmallest: Boolean = false): DataFrame = {
+    val seedRows =
+      if (seedSmallest) vectors.orderBy(col("vec_id")).limit(k)
+      else vectors.where(col("vec_id") < k)
+    var centroids = seedRows
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
     (1 to iters).foreach { _ =>
       val updated = reestimate(

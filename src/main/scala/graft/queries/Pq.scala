@@ -153,8 +153,17 @@ object Pq {
     * the first K vectors by id (deterministic); empty codewords keep
     * their previous centroid; lineage truncated per round.
     */
-  def train(subs: DataFrame, k: Int, iters: Int): DataFrame = {
-    var codebook = subs.where(col("vec_id") < k)
+  def train(subs: DataFrame, k: Int, iters: Int,
+      seedSmallest: Boolean = false): DataFrame = {
+    // seedSmallest: the k smallest vec_ids PRESENT (for sampled
+    // training sets with non-dense ids — see KmeansIvf.train); each
+    // seed vector carries all M subspaces, so every m gets k seeds
+    val seedRows =
+      if (seedSmallest)
+        subs.join(subs.select("vec_id").distinct().orderBy(col("vec_id")).limit(k),
+          Seq("vec_id"), "left_semi")
+      else subs.where(col("vec_id") < k)
+    var codebook = seedRows
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("centroid"))
     (1 to iters).foreach { _ =>
       val assigned = encode(subs, codebook).select(col("m"), col("cid"), col("sv"))

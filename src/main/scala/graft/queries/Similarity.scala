@@ -306,6 +306,7 @@ object Similarity extends QueryModule {
     "sim_int8_topk" -> (simInt8Topk _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (IvfPq.simIvfPq _),
+    "sim_ivfpq_sampled" -> (IvfPq.simIvfPqSampled _),
   )
 
   private val dotSql =
@@ -465,5 +466,6 @@ object Similarity extends QueryModule {
          |SELECT query_id, rank, vec_id, round(qcos, 6) AS qcos
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_ivfpq" -> IvfPq.oracleSql,
+    "sim_ivfpq_sampled" -> IvfPq.sampledOracleSql,
   )
 }

@@ -764,6 +764,9 @@ object TextAnalysis extends QueryModule {
     "ta_classify" -> (taClassify _),
     "ta_classify_weighted" -> (taClassifyWeighted _),
     "ta_bpe_train" -> (Bpe.taBpeTrain _),
+    "ta_bpe_vocab" -> (Bpe.taBpeVocab _),
+    "ta_bpe_encode" -> (Bpe.taBpeEncode _),
+    "ta_pii_redact" -> (Pii.taPiiRedact _),
     "ta_ngram_top" -> (taNgramTop _),
     "ta_seq_pack" -> (taSeqPack _),
     "ta_pos_tokens" -> (taPosTokens _),
@@ -839,6 +842,9 @@ object TextAnalysis extends QueryModule {
         |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM m ORDER BY doc_id""".stripMargin,
     "ta_bpe_train" -> Bpe.oracleSql,
+    "ta_bpe_vocab" -> Bpe.vocabOracleSql,
+    "ta_bpe_encode" -> Bpe.encodeOracleSql,
+    "ta_pii_redact" -> Pii.oracleSql,
     // the weights table REGENERATED in SQL (printf('%02x') over
     // range(256), same md5→[−128,127] arithmetic), then the
     // explode → left-join probe → per-doc margin sum replayed; an
