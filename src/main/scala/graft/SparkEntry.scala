@@ -25,8 +25,8 @@ object SparkEntry {
   }
 
   private val modules: Seq[QueryModule] = Seq(
-    WordCountQueries, Relational, TextAnalysis, Dedup, Similarity, Multimodal,
-    StreamingQueries)
+    WordCountQueries, Relational, TextAnalysis, Sketches, Dedup, Similarity,
+    Multimodal, StreamingQueries)
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1004,7 +1004,93 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Slowly-changing-dimension TYPE-2 history build — the warehouse
+    * merge every dimension pipeline runs: collapse each customer's
+    * order-status timeline into versioned validity intervals
+    * [valid_from, valid_to), open-ended on the current version.
+    *
+    * Shape: change detection is a lag() over (custkey | orderdate,
+    * orderkey), run-numbering a running sum over the same window, the
+    * interval rollup a (custkey, version, status) aggregate, and
+    * valid_to a lead() back over versions. Every stage is clustered by
+    * custkey, and Spark recognizes the subset rule (hash(custkey)
+    * satisfies clustering on (custkey, version, status)) — the WHOLE
+    * query runs on ONE exchange (plan-asserted in PlanShapeSpec), the
+    * shape that survives a 100 TB fact history: one shuffle of the
+    * filtered orders, then in-partition windows and aggregates only.
+    * The custkey filter is pushed to the parquet scan.
+    */
+  def q52Scd2(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val o = Tables(s, dir).orders
+      .where(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag("o_orderstatus", 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("o_orderstatus"), 1)
+          .otherwise(0))
+      .withColumn("version", sum("chg").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = o.groupBy(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"))
+      .agg(min("o_orderdate").as("vf"), count(lit(1)).as("n_orders"))
+    val byVersion = Window.partitionBy("o_custkey").orderBy("version")
+    runs
+      .withColumn("vt", lead("vf", 1).over(byVersion))
+      .select(col("o_custkey").as("custkey"),
+        col("version").cast("int").as("version"), col("status"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_orders"),
+        col("vt").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  /** Column profiling — the data-quality scan a pipeline runs before
+    * training ingest: per profiled column, row/null/distinct counts and
+    * a typed min/max rendering, unpivoted to one row per column.
+    *
+    * ONE corpus pass computes every metric (a single aggregate whose
+    * partials merge; the multi-column COUNT(DISTINCT) plans the same
+    * Expand as q12), then a 1-row stack() unpivots driver-side-free.
+    * Doubles render as exact cents and timestamps as formatted UTC —
+    * the repo-wide oracle rule that float-to-string is never hashed.
+    * At 100 TB the distinct counts swap to approx_count_distinct
+    * (ApproxAggSpec pins the sketch); nothing else changes shape.
+    */
+  def q53Profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    // (name, value column, min/max renderer)
+    val cols: Seq[(String, Column, Column => Column)] = Seq(
+      ("l_orderkey", col("l_orderkey"), c => c.cast("string")),
+      ("l_linenumber", col("l_linenumber"), c => c.cast("string")),
+      ("l_quantity", col("l_quantity"), c => cents(c).cast("string")),
+      ("l_extendedprice", col("l_extendedprice"), c => cents(c).cast("string")),
+      ("l_returnflag", col("l_returnflag"), c => c),
+      ("l_shipdate", col("l_shipdate"),
+        c => date_format(c, "yyyy-MM-dd HH:mm:ss")),
+    )
+    val aggs = cols.flatMap { case (n, c, r) => Seq(
+      count(lit(1)).as(s"${n}__rows"),
+      (count(lit(1)) - count(c)).as(s"${n}__nulls"),
+      countDistinct(c).as(s"${n}__distinct"),
+      r(min(c)).as(s"${n}__min"),
+      r(max(c)).as(s"${n}__max"))
+    }
+    val stackArgs = cols.map { case (n, _, _) =>
+      s"'$n', ${n}__rows, ${n}__nulls, ${n}__distinct, ${n}__min, ${n}__max"
+    }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)")
+      .orderBy("col_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_scd2" -> (q52Scd2 _),
+    "q53_profile" -> (q53Profile _),
     "q30_bucketed_join" -> (q30BucketedJoin _),
     "q29_range_join" -> (q29RangeJoin _),
     "q28_asof_join" -> (q28AsofJoin _),
@@ -1059,6 +1145,61 @@ object Relational extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical lag→running-sum→rollup→lead chain; IS DISTINCT FROM
+    // covers the first-row NULL the Spark side spells with isNull
+    "q52_scd2" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM
+        |      o_orderstatus THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |v AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, version, o_orderstatus AS status,
+        |    min(o_orderdate) AS vf, count(*) AS n_orders
+        |  FROM v GROUP BY o_custkey, version, o_orderstatus),
+        |f AS (
+        |  SELECT o_custkey AS custkey, CAST(version AS INT) AS version, status,
+        |    strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |    strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+        |      '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |    CAST(n_orders AS BIGINT) AS n_orders
+        |  FROM g)
+        |SELECT custkey, version, status, valid_from, valid_to, n_orders,
+        |  (valid_to IS NULL) AS is_current
+        |FROM f ORDER BY custkey, version""".stripMargin,
+    // one UNION ALL arm per profiled column, each re-deriving the same
+    // typed min/max rendering (cents for doubles, strftime for
+    // timestamps) the Spark side stacks from its single-pass aggregate
+    "q53_profile" -> {
+      val arms = Seq(
+        ("l_orderkey", "CAST(min(l_orderkey) AS VARCHAR)",
+          "CAST(max(l_orderkey) AS VARCHAR)"),
+        ("l_linenumber", "CAST(min(l_linenumber) AS VARCHAR)",
+          "CAST(max(l_linenumber) AS VARCHAR)"),
+        ("l_quantity", "CAST(CAST(round(min(l_quantity) * 100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(round(max(l_quantity) * 100) AS BIGINT) AS VARCHAR)"),
+        ("l_extendedprice", "CAST(CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS VARCHAR)"),
+        ("l_returnflag", "min(l_returnflag)", "max(l_returnflag)"),
+        ("l_shipdate", "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')"),
+      ).map { case (n, mn, mx) =>
+        s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($n) AS n_nulls,
+           |  count(DISTINCT $n) AS n_distinct, $mn AS min_repr, $mx AS max_repr
+           |FROM lineitem""".stripMargin
+      }
+      arms.mkString("SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(n_nulls AS BIGINT) AS n_nulls, " +
+        "CAST(n_distinct AS BIGINT) AS n_distinct, min_repr, max_repr FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
     // the PLAIN join — the bucketed layout must be result-invisible
     "q30_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -757,7 +757,41 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "rk")
   }
 
+  /** Chunk budget: tokens per training/RAG chunk and the stride between
+    * chunk starts (overlap = ChunkSize − ChunkStride = 16 tokens, the
+    * boundary-context rule retrieval chunking uses).
+    */
+  private[graft] val ChunkSize = 64
+  private[graft] val ChunkStride = 48
+
+  /** Context-window chunking — the doc → overlapping fixed-budget
+    * chunks step a RAG / long-context pipeline runs after cleaning:
+    * chunk i covers tokens [i·stride + 1, i·stride + size], chunks
+    * keep starting while a start position remains (an empty doc still
+    * yields its one empty chunk, so every doc_id survives into the
+    * chunk table).
+    *
+    * Per-row work only: the start list is generated and exploded
+    * in-row (fan-out ≈ n/stride, bounded by doc length), each chunk a
+    * slice + hash of the already-split token array — no join, no
+    * aggregate, no shuffle but the output sort. The chunk text itself
+    * ships as md5 (16 bytes/chunk to the gate); a real pipeline writes
+    * the token slice instead, same plan.
+    */
+  def taChunk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), filter(toks, t => t =!= "").as("w"))
+      .select(col("doc_id"), col("w"), posexplode(sequence(lit(0L),
+        expr(s"(greatest(size(w), 1) - 1) div $ChunkStride"))))
+      .withColumn("start_tok", (col("col") * ChunkStride + 1).cast("int"))
+      .withColumn("chunk", slice(col("w"), col("start_tok"), lit(ChunkSize)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("start_tok"),
+        size(col("chunk")).as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_chunk" -> (taChunk _),
     "ta_gopher_quality" -> (taGopherQuality _),
     "ta_shuffle_shard" -> (taShuffleShard _),
     "ta_ppl_bucket" -> (taPplBucket _),
@@ -792,6 +826,27 @@ object TextAnalysis extends QueryModule {
     GopherStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // the same start-list → slice → hash chain; // is DuckDB integer
+    // division (Spark side uses div); list_slice's inclusive end =
+    // start + size − 1 capped at len(w)
+    "ta_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(0, (greatest(len(w), 1) - 1) // $ChunkStride + 1)) AS i
+         |  FROM t),
+         |d AS (
+         |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    CAST(i * $ChunkStride + 1 AS INT) AS start_tok,
+         |    list_slice(w, i * $ChunkStride + 1,
+         |      least(i * $ChunkStride + $ChunkSize, len(w))) AS chunk
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, start_tok,
+         |  CAST(len(chunk) AS INT) AS n_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM d ORDER BY doc_id, chunk_idx""".stripMargin,
     // rule thresholds interpolated from the same constants the Spark
     // side compares against; every rule is exact-int / explicit-double
     // arithmetic so both engines decide each document identically

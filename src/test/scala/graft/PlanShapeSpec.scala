@@ -155,6 +155,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyed == 1, s"expected ONE o_custkey exchange shared by both specs:\n$p")
   }
 
+  test("q52_scd2: the whole SCD2 chain runs on ONE custkey exchange") {
+    val p = plan("q52_scd2")
+    // lag window → running-sum window → run rollup → lead window: the
+    // rollup keys (custkey, version, status) are a superset of the
+    // window partitioning, so hash(custkey) satisfies every stage —
+    // one shuffle of the filtered orders, everything else in-partition
+    val keyed = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(keyed == 1, s"expected ONE o_custkey exchange for the whole chain:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"no other key exchange expected:\n$p")
+    assert(p.contains("PushedFilters"), s"custkey filter should reach the scan:\n$p")
+  }
+
+  test("ta_chunk: in-row chunking — no join, no aggregate, sort-only exchange") {
+    val p = plan("ta_chunk")
+    // NB: not a substring test on "join" — array_join is in the project
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"chunking must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"chunking must not aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"only the output sort may shuffle:\n$p")
+  }
+
+  test("ta_winnow: fingerprinting stays in the row — no explode, no key shuffle") {
+    val p = plan("ta_winnow")
+    assert(!p.toLowerCase.contains("generate"),
+      s"gram fan-out must stay in-row (no explode):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"only the output sort may shuffle:\n$p")
+  }
+
+  test("ta_heavy_hitters: sketch built from weighted vocab, probe join broadcast") {
+    val p = plan("ta_heavy_hitters")
+    // corpus-scale work is ONE wc-shaped aggregate (tok); the sketch
+    // probe joins 256 broadcast cells; top-k is TakeOrdered, not sort
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join expected:\n$p")
+  }
+
   test("q40_setops_all: multiset ops plan as aggregates, never as joins") {
     val p = plan("q40_setops_all")
     assert(!p.toLowerCase.contains("join"),
