@@ -547,7 +547,69 @@ object StreamingQueries extends QueryModule {
       .orderBy("user_id", "s_start")
   }
 
+  /** Progress JSON of the most recent [[stTwsCount]] run, for
+    * StreamingSpec's the-new-API-actually-ran assertion (the state
+    * operator name in progress is transformWithState-specific).
+    */
+  @volatile private[graft] var lastTwsProgress: Seq[String] = Nil
+
+  /** Spark 4.x ARBITRARY STATE V2 — `transformWithState` with a typed
+    * `ValueState` ([[graft.streaming.TwsCounter]]), the API that
+    * replaces flatMapGroupsWithState (st_sessionize pins the legacy
+    * one). Three mtime-ordered micro-batches (events split by
+    * event_id % 3 via [[stagePhases]]) drive per-user lifetime
+    * counters: each batch with input for a user emits (batch delta,
+    * lifetime count, lifetime cents) — so the sink's row set proves
+    * the ValueState genuinely persisted ACROSS batches (an engine that
+    * lost state between triggers would emit n_total = n_batch rows and
+    * hash-fail; one that replayed state within a batch would double-
+    * count).
+    *
+    * The money column is converted to exact cents in the SQL layer
+    * BEFORE the typed boundary (both engines run the identical
+    * round(x*100)::long), so the processor only sums longs —
+    * order-free and engine-exact. transformWithState requires the
+    * RocksDB provider; the conf override lives in an isolated session
+    * like [[stDedupRocksDb]]'s. The oracle replays the phase split and
+    * per-phase cumulative sums in SQL.
+    */
+  def stTwsCount(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .transform(graft.sources.Tables.normalizeEventTs)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val phases = (0 until 3).map(p =>
+      ev.where(col("event_id") % 3 === p).select(col("user_id"), col("cents")))
+    val srcDir = stagePhases(s, "st_tws_count", phases)
+    val chk = freshDir("st_tws_count/chk")
+    val out = freshDir("st_tws_count/out")
+    val counted = s.readStream
+      .schema("user_id BIGINT, cents BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .as[graft.streaming.TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.TwsCounter,
+        TimeMode.None(), OutputMode.Append())
+    val q = counted.toDF().writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      lastTwsProgress = q.recentProgress.toSeq.map(_.json)
+    } finally q.stop()
+    // (user_id, n_total) is unique: totals strictly grow per emission
+    s.read.parquet(out).orderBy("user_id", "n_total")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_tws_count" -> (stTwsCount _),
     "st_session_window" -> (stSessionWindow _),
     "st_dedup" -> (stDedup _),
     "st_dedup_rocksdb" -> (stDedupRocksDb _),
@@ -591,6 +653,27 @@ object StreamingQueries extends QueryModule {
        |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the phase split (event_id % 3) and the per-user cumulative
+    // lifetime totals replayed in SQL; users absent from a phase emit
+    // no row, matching the processor's empty-iterator short-circuit
+    "st_tws_count" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id % 3 AS phase,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, phase, count(*) AS n_batch, sum(cents) AS cents_batch
+        |  FROM e GROUP BY user_id, phase),
+        |c AS (
+        |  SELECT user_id, phase, n_batch,
+        |    sum(n_batch) OVER w AS n_total,
+        |    sum(cents_batch) OVER w AS cents_total
+        |  FROM p WINDOW w AS (
+        |    PARTITION BY user_id ORDER BY phase ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, CAST(n_batch AS BIGINT) AS n_batch,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(cents_total AS BIGINT) AS cents_total
+        |FROM c ORDER BY user_id, n_total""".stripMargin,
     "st_dedup" -> stDedupOracle,
     "st_dedup_rocksdb" -> stDedupOracle,
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),

@@ -372,4 +372,27 @@ class StreamingSpec extends SparkSpec {
     // micro value → withheld (raw-micros comparison, no ms rounding up)
     assert(emittedUsers(Seq(1L -> (t0 + 500L), 2L -> (t0 + gapUs + 900L))) === Set.empty)
   }
+
+  test("st_tws_count: transformWithState runs, state persists across batches") {
+    import graft.queries.StreamingQueries
+    val rows = StreamingQueries.stTwsCount(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    // the new API's state operator is named in progress — in-band proof
+    // transformWithState (not a fallback) executed, on RocksDB
+    val progress = StreamingQueries.lastTwsProgress.mkString("\n")
+    assert(progress.contains("transformWithState"),
+      s"expected the transformWithState operator in progress:\n$progress")
+    assert(progress.contains("rocksdb"),
+      "transformWithState requires the RocksDB provider — metrics missing")
+    // cross-batch persistence, non-vacuously: some user must emit in
+    // more than one batch, and lifetime totals must telescope
+    val byUser = rows.groupBy(_.getLong(0))
+    assert(byUser.exists(_._2.size > 1), "fixture never exercised 2+ batches")
+    for ((u, rs) <- byUser) {
+      val ordered = rs.sortBy(_.getLong(2))
+      val n = ordered.map(_.getLong(1)).sum
+      assert(ordered.last.getLong(2) === n,
+        s"user $u: final n_total ${ordered.last.getLong(2)} != sum of deltas $n")
+    }
+  }
 }
