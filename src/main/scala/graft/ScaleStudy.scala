@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * at, with Bench's timing discipline (warm-up pass, N timed passes,
   * caches cleared between passes, min reported).
   *
-  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup|ivfpq]
+  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup|ivfpq|rowops]
   * Prints one JSON line; never run concurrently with Bench.
   */
 object ScaleStudy {
@@ -42,6 +42,36 @@ object ScaleStudy {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // "rowops": the per-row / constant-state-aggregate document
+    // operators (winnowing, CMS, HLL, chunking) — no sizing rule to
+    // resolve (their state is constant or per-doc-bounded by design);
+    // the study exists to MEASURE the claimed linearity across the
+    // same three diverse decades the candidate-join families use.
+    // One JVM, each query timed separately with Bench's discipline.
+    if (study == "rowops") {
+      val names = Seq("ta_winnow", "ta_heavy_hitters", "ta_hll_distinct",
+        "ta_chunk")
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      def once(name: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        elapsed
+      }
+      val results = names.map { name =>
+        once(name) // warm-up, untimed
+        val samples = (1 to passes).map(_ => once(name))
+        s""""$name":{"samples":[${samples.mkString(",")}],"min":${samples.min}}"""
+      }
+      spark.stop()
+      println(s"""{"metric":"rowops","n":$nDocs,""" +
+        results.mkString("", ",", ",") + s""""sf":"$sfDir"}""")
+      return
+    }
+
     val emb = graft.core.FanOut(graft.sources.Tables(spark, sfDir).embeddings)
     val n = emb.count()
     // resolve the rule once, report it in the record
@@ -80,7 +110,8 @@ object ScaleStudy {
                 emb.select("vec_id", "embedding"), cd, bd, coarseK = k)
               .write.format("noop").mode("overwrite").save()
           })
-      case other => sys.error(s"unknown study '$other' (embed_lsh|semdedup|ivfpq)")
+      case other =>
+        sys.error(s"unknown study '$other' (embed_lsh|semdedup|ivfpq|rowops)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -206,16 +206,17 @@ object Sketches extends QueryModule {
   def taWinnow(s: SparkSession, dir: String): DataFrame =
     winnowCore(docs(s, dir))
 
-  /** Winnowing over any (doc_id, text) frame, for SketchesSpec's
-    * crafted-fixture guarantee checks.
+  /** The winnowing selection over any (doc_id, text) frame:
+    * (doc_id, hs = gram hashes, nh, sel = selected positions), all
+    * in-row — shared by [[winnowCore]] (the fingerprint manifest) and
+    * [[ddWinnowPairs]] (the blocking join built on it).
     */
-  private[graft] def winnowCore(d: DataFrame): DataFrame = {
+  private[graft] def winnowSelected(d: DataFrame): DataFrame = {
     val W = WinnowWindow
-    val base = d.select(col("doc_id"),
-      transform(graft.functions.WordShingles.of(col("text")),
-        g => conv(substring(md5(concat(lit("graft-wn|"), g)), 1, 8), 16, 10)
-          .cast("long")).as("hs"))
-    val sel = base
+    d.select(col("doc_id"),
+        transform(graft.functions.WordShingles.of(col("text")),
+          g => conv(substring(md5(concat(lit("graft-wn|"), g)), 1, 8), 16, 10)
+            .cast("long")).as("hs"))
       .withColumn("nh", size(col("hs")))
       .withColumn("sel", array_sort(array_distinct(transform(
         sequence(lit(1), greatest(col("nh") - lit(W - 1), lit(1))),
@@ -224,7 +225,13 @@ object Sketches extends QueryModule {
           val sub = slice(col("hs"), j, e - j + lit(1))
           e + lit(1) - array_position(reverse(sub), array_min(sub))
         }))))
-    sel.select(col("doc_id"),
+  }
+
+  /** Winnowing over any (doc_id, text) frame, for SketchesSpec's
+    * crafted-fixture guarantee checks.
+    */
+  private[graft] def winnowCore(d: DataFrame): DataFrame = {
+    winnowSelected(d).select(col("doc_id"),
       col("nh").as("n_grams"),
       size(col("sel")).as("n_selected"),
       array_join(transform(col("sel"), p =>
@@ -233,12 +240,127 @@ object Sketches extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- winnowing as a blocking scheme ----------------------------------
+
+  /** Hot-fingerprint guard, same class as dd_ngram_jaccard's
+    * PostingCap: a fingerprint shared by more than this many docs is
+    * boilerplate (the corpus's ubiquitous grams) and is dropped from
+    * the index — one hot gram must never cost k² join rows.
+    */
+  private[graft] val WinnowPostingCap = 16
+
+  /** Candidate pairs must share at least this many kept fingerprints. */
+  private[graft] val WinnowMinShared = 2
+
+  /** Winnowing's actual production role (Schleimer §1: MOSS indexes the
+    * SELECTED hashes, not all grams): near-dup candidate generation
+    * from the fingerprint index. Per doc the distinct selected hashes
+    * (≈ 2/(w+1) of the gram volume — the whole point vs. indexing
+    * every shingle as dd_ngram_jaccard's postings do), then the
+    * standard capped inverted-index self-join: postings capped at
+    * [[WinnowPostingCap]] docs, pairs keyed doc_a < doc_b, kept at
+    * ≥ [[WinnowMinShared]] shared fingerprints.
+    *
+    * 100 TB shape: identical to the proven n-gram postings path
+    * (candidate volume O(n·cap), never quadratic; the cap is part of
+    * the oracle), with the index ~60 % smaller for w = 4. Verification
+    * (exact Jaccard on candidates) composes downstream exactly as in
+    * dd_ngram_jaccard.
+    */
+  def ddWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsCore(docs(s, dir))
+
+  /** The capped fingerprint-index pair join over any (doc_id, text)
+    * frame, for SketchesSpec's shared-run and hot-cap fixtures.
+    */
+  private[graft] def winnowPairsCore(d: DataFrame): DataFrame = {
+    val fp = winnowSelected(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(array_distinct(transform(col("sel"),
+        p => element_at(col("hs"), p.cast("int"))))).as("fh"))
+    val ok = fp.groupBy("fh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") <= WinnowPostingCap)
+      .select("fh")
+    val kept = fp.join(ok, "fh")
+    kept.as("a").join(kept.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- Bloom filter ----------------------------------------------------
+
+  /** Filter geometry: a 256-bit array, 3 hash functions. Production
+    * sizing is bits ≈ 1.44 · n · log₂(1/p); the arithmetic below is
+    * width-agnostic (widen BloomBits, nothing else changes) and the
+    * gate's 256/3 keeps the false-positive path non-degenerate on the
+    * ~31-token vocabulary (~36 % bits set ⇒ p ≈ 4.8 %).
+    */
+  private[graft] val BloomBits = 256L
+  private[graft] val BloomHashes = 3
+
+  private[graft] def bloomBit(k: Column, tok: Column): Column =
+    conv(substring(md5(concat(lit("graft-bloom-"), k.cast("string"), lit("|"),
+      tok)), 1, 2), 16, 10).cast("long") % BloomBits
+
+  /** Per-source Bloom membership filter with its full state AND its
+    * error under the gate: build each source's bit set from its
+    * distinct tokens, probe it with the ENTIRE corpus vocabulary, and
+    * emit bits set, true members, accepted probes, and the
+    * false-positive count (accepted − members; no-false-NEGATIVES is
+    * structural and spec-asserted).
+    *
+    * This is the oracle-able twin of the runtime bloom-filter join
+    * rewrite RuntimeFilterSpec proves live (`might_contain` on the
+    * probe-side scan): same fixed-size, OR-mergeable bit-set state —
+    * the reason a 1000-executor build ships 32-byte partials instead
+    * of a shuffle — but with every bit position replayed by DuckDB.
+    * The probe side here is the corpus vocab (the gate's ground truth
+    * needs exact membership); in production it is whatever stream is
+    * being filtered, at scan speed against the broadcast bits.
+    */
+  def taBloom(s: SparkSession, dir: String): DataFrame = {
+    val ks = explode(sequence(lit(0), lit(BloomHashes - 1))).as("k")
+    val members = docs(s, dir)
+      .select(col("source"), explode(toks).as("tok")).distinct()
+    val bits = members.select(col("source"), ks, col("tok"))
+      .select(col("source"), bloomBit(col("k"), col("tok")).as("bit"))
+      .distinct()
+    val nBits = bits.groupBy("source").agg(count(lit(1)).as("n_bits_set"))
+    val nMembers = members.groupBy("source")
+      .agg(count(lit(1)).as("n_members"))
+    // probe EVERY source's filter with the whole corpus vocabulary
+    val vocab = members.select("tok").distinct()
+    val probes = nBits.select("source").crossJoin(broadcast(vocab))
+    // membership = ALL of the probe's DISTINCT bits present (two of a
+    // token's k hashes may collide on one bit — compare hit count to
+    // the token's own distinct-bit count, identically in the oracle)
+    val probeBits = probes.select(col("source"), ks, col("tok"))
+      .select(col("source"), col("tok"), bloomBit(col("k"), col("tok")).as("bit"))
+      .distinct()
+    val need = probeBits.groupBy("source", "tok")
+      .agg(count(lit(1)).as("need"))
+    val hits = probeBits.join(bits, Seq("source", "bit"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("hits"))
+    val accepted = need.join(hits, Seq("source", "tok"))
+      .where(col("hits") === col("need"))
+      .groupBy("source").agg(count(lit(1)).as("n_accepted"))
+    nBits.join(nMembers, "source").join(accepted, "source")
+      .select(col("source"), col("n_bits_set"), col("n_members"),
+        col("n_accepted"),
+        (col("n_accepted") - col("n_members")).as("n_fp"))
+      .orderBy("source")
+  }
+
   // ---- registration ----------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_heavy_hitters" -> (taHeavyHitters _),
     "ta_hll_distinct" -> (taHllDistinct _),
     "ta_winnow" -> (taWinnow _),
+    "dd_winnow_pairs" -> (ddWinnowPairs _),
+    "ta_bloom" -> (taBloom _),
   )
 
   /** Shared shingle replay (the word_shingles contract: 3-gram join by
@@ -305,6 +427,70 @@ object Sketches extends QueryModule {
          |  CAST(floor($HllNumer / s_scaled) AS BIGINT) AS est,
          |  CAST(exact AS BIGINT) AS exact
          |FROM sc JOIN ex USING (source) ORDER BY source""".stripMargin
+    },
+    // the winnow chain shared with ta_winnow, then the capped
+    // inverted-index self-join replayed: distinct (doc, fingerprint),
+    // postings HAVING <= cap, pairs keyed doc_a < doc_b, >= min shared
+    "dd_winnow_pairs" -> {
+      val W = WinnowWindow
+      val h8 = hexIntSql("substr(md5('graft-wn|' || g), 1, 8)", 8)
+      val sub = s"list_slice(hs, j, least(j + ${W - 1}, len(hs)))"
+      s"""${shingleSrcCte("lang")},
+         |hh AS (
+         |  SELECT doc_id, list_transform(sh, g -> $h8) AS hs FROM s),
+         |sl AS (
+         |  SELECT doc_id, hs,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(hs) - ${W - 1}, 1) + 1),
+         |      j -> least(j + ${W - 1}, len(hs)) + 1
+         |           - list_position(list_reverse($sub), list_min($sub)))) AS sel
+         |  FROM hh),
+         |f0 AS (SELECT doc_id, hs, unnest(sel) AS p FROM sl),
+         |fh AS (SELECT DISTINCT doc_id, hs[p] AS fh FROM f0),
+         |okf AS (SELECT fh FROM fh GROUP BY fh HAVING count(*) <= $WinnowPostingCap)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fh a JOIN okf USING (fh) JOIN fh b
+         |  ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // bloom bits, members, vocab probes, and the distinct-bit
+    // membership test replayed; n_fp = accepted − members
+    "ta_bloom" -> {
+      val mbit = hexIntSql(
+        "md5('graft-bloom-' || CAST(i AS VARCHAR) || '|' || tok)", 2)
+      s"""WITH tk0 AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |tk AS (SELECT DISTINCT source, tok FROM tk0),
+         |b0 AS (
+         |  SELECT source, tok, $mbit % $BloomBits AS bit
+         |  FROM tk, range(0, $BloomHashes) t(i)),
+         |bits AS (SELECT DISTINCT source, bit FROM b0),
+         |nb AS (SELECT source, count(*) AS n_bits_set FROM bits GROUP BY source),
+         |nm AS (SELECT source, count(*) AS n_members FROM tk GROUP BY source),
+         |vocab AS (SELECT DISTINCT tok FROM tk0),
+         |pb0 AS (
+         |  SELECT sc.source, v.tok, $mbit % $BloomBits AS bit
+         |  FROM (SELECT DISTINCT source FROM documents) sc, vocab v,
+         |    range(0, $BloomHashes) t(i)),
+         |pb AS (SELECT DISTINCT source, tok, bit FROM pb0),
+         |need AS (SELECT source, tok, count(*) AS need FROM pb GROUP BY source, tok),
+         |hit AS (
+         |  SELECT pb.source, pb.tok, count(*) AS hits
+         |  FROM pb JOIN bits USING (source, bit) GROUP BY pb.source, pb.tok),
+         |acc AS (
+         |  SELECT n.source, count(*) AS n_accepted
+         |  FROM need n JOIN hit h
+         |    ON n.source = h.source AND n.tok = h.tok AND h.hits = n.need
+         |  GROUP BY n.source)
+         |SELECT nb.source, CAST(n_bits_set AS BIGINT) AS n_bits_set,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_accepted AS BIGINT) AS n_accepted,
+         |  CAST(n_accepted - n_members AS BIGINT) AS n_fp
+         |FROM nb JOIN nm USING (source) JOIN acc USING (source)
+         |ORDER BY nb.source""".stripMargin
     },
     // gram hashes in a list column, then the identical window-argmin
     // algebra: e = min(j+w-1, n), pick e + 1 - position(reverse(sub), min(sub))

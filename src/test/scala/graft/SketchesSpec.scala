@@ -161,6 +161,53 @@ class SketchesSpec extends SparkSpec {
     assert(n2 === 6 && nSel2 === 3, "tie fixture: windows 1..3 pick pos 4,5,6")
   }
 
+  test("winnow pairs: a shared run pairs; a boilerplate fingerprint is capped out") {
+    import spark.implicits._
+    // 12 tokens shared → 10 grams → every window of the shared run picks
+    // a shared hash: well over MinShared fingerprints in common
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val paired = Seq(
+      20L -> s"aa bb cc $run dd ee",
+      21L -> s"ff gg hh $run ii jj",
+    )
+    val got = Sketches.winnowPairsCore(paired.toDF("doc_id", "text"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((20L, 21L)), "shared-run docs must pair")
+    // cap trapdoor: cap+2 docs all sharing the same text — every
+    // fingerprint is in cap+2 > cap postings, so NO pairs survive
+    val hot = (0 until Sketches.WinnowPostingCap + 2).map(i =>
+      (100L + i) -> s"same old boilerplate text repeated $run")
+    assert(Sketches.winnowPairsCore(hot.toDF("doc_id", "text")).count() === 0,
+      "boilerplate-hot fingerprints must be capped out of the index")
+  }
+
+  test("bloom: full frame replays under an independent JVM filter; no false negatives") {
+    val rows = graft.sources.Tables(spark, sfDir).documents
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val bySource = rows.groupBy(_._1).view
+      .mapValues(_.flatMap(t => tokensOf(t._2)).distinct).toMap
+    val vocab = rows.flatMap(t => tokensOf(t._2)).distinct
+    def bitsOf(tok: String): Set[Int] =
+      (0 until Sketches.BloomHashes).map(k =>
+        (java.lang.Long.parseLong(md5Hex(s"graft-bloom-$k|$tok").take(2), 16) %
+          Sketches.BloomBits).toInt).toSet
+    val expected = bySource.toSeq.map { case (src, members) =>
+      val bloom = members.flatMap(bitsOf).toSet
+      val accepted = vocab.count(t => bitsOf(t).subsetOf(bloom))
+      (src, bloom.size.toLong, members.size.toLong, accepted.toLong,
+        accepted.toLong - members.size)
+    }.sortBy(_._1)
+    val got = Sketches.taBloom(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === expected)
+    // no false negatives, structurally: every member is accepted
+    got.foreach { case (src, _, m, a, fp) =>
+      assert(a >= m && fp === a - m, s"$src: accepted $a < members $m")
+    }
+  }
+
   test("Schleimer guarantee: a shared k+w−1 token run ⇒ a shared fingerprint") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta" // k+w-1 = 6 tokens
