@@ -90,6 +90,22 @@ object IvfPq {
   private[graft] lazy val SampledCodebookDir = java.nio.file.Files
     .createTempDirectory("graft_ivfpqs_codebooks_").toString
 
+  /** ADC shortlist depth for [[simIvfPqRerank]] — the R of IVFADC+R
+    * (Jégou et al. 2011 §V-A): the approximate distances pick R
+    * candidates, the exact metric re-orders only those. R/k' = 10/3
+    * here mirrors the paper's R = 10·k' band scaled to the gate's
+    * top-3 output.
+    */
+  private[graft] val RerankDepth = 10
+
+  /** Model sinks for the rerank variant — same persistence contract
+    * as [[CoarseCentroidDir]].
+    */
+  private[graft] lazy val RerankCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_ivfpqr_centroids_").toString
+  private[graft] lazy val RerankCodebookDir = java.nio.file.Files
+    .createTempDirectory("graft_ivfpqr_codebooks_").toString
+
   /** The residual v − c(cell), computed in double and rounded ONCE to
     * float32 — the same arithmetic DuckDB replays with
     * `(v[i]::DOUBLE − c[i]::DOUBLE)::REAL`, so the residual corpus the
@@ -152,6 +168,23 @@ object IvfPq {
         .select(col("vec_id"), col("embedding")),
       SampledCentroidDir, SampledCodebookDir, trainCap = Some(SampleCap))
 
+  /** IVFADC+R (Jégou et al. 2011 §V-A): the ADC scan produces a
+    * [[RerankDepth]]-deep shortlist per query, then the EXACT metric
+    * (raw-vector squared L2, the distance ADC approximates) re-orders
+    * only those candidates for the final top-3. This is the production
+    * accuracy knob: the corpus is still touched only through 8-byte
+    * codes — the full 256-byte vectors are fetched for R rows per
+    * query (a broadcast semi-join on vec_id, never a vector-side
+    * shuffle), so the exact pass costs O(queries × R), independent of
+    * n. Trained on the [[SampleCap]] sample like [[simIvfPqSampled]]
+    * (the corpus-scale configuration this variant belongs to).
+    */
+  def simIvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    ivfPqCore(graft.core.FanOut(Tables(s, dir).embeddings)
+        .select(col("vec_id"), col("embedding")),
+      RerankCentroidDir, RerankCodebookDir, trainCap = Some(SampleCap),
+      rerankDepth = Some(RerankDepth))
+
   /** Core of [[simIvfPq]], parameterized on the vector set, the model
     * sinks, and the COARSE CELL COUNT k — the same discipline as
     * [[Dedup.semdedup]]: the probed-cell candidate volume is
@@ -165,7 +198,8 @@ object IvfPq {
   private[graft] def ivfPqCore(vectors: DataFrame,
       centDir: String, cbDir: String,
       coarseK: Int = CoarseK, coarseIters: Int = CoarseIters,
-      probes: Int = Probes, trainCap: Option[Int] = None): DataFrame = {
+      probes: Int = Probes, trainCap: Option[Int] = None,
+      rerankDepth: Option[Int] = None): DataFrame = {
     require(coarseK > 0 && coarseIters > 0 && probes > 0,
       s"need positive k/iters/probes, got $coarseK/$coarseIters/$probes")
     val s = vectors.sparkSession
@@ -221,18 +255,48 @@ object IvfPq {
     // ADC restricted to probed cells: the (cell, m, cid) join against
     // the broadcast table only matches candidates in probed cells
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
-    codes.join(broadcast(dtable), Seq("cell", "m", "cid"))
+    val adcAll = codes.join(broadcast(dtable), Seq("cell", "m", "cid"))
       .where(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id", "cell")
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("m"), col("d2")))),
           x => x("d2")),
         lit(0.0), (acc, v) => acc + v).as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
-        round(col("adc"), 6).as("adc"))
-      .orderBy("query_id", "rank")
+    rerankDepth match {
+      case None =>
+        adcAll
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
+            round(col("adc"), 6).as("adc"))
+          .orderBy("query_id", "rank")
+      case Some(depth) =>
+        // IVFADC+R: exact squared L2 re-rank of the ADC shortlist. The
+        // shortlist (queries × depth rows) is the BROADCAST side of
+        // both raw-vector fetches — the corpus is probed by vec_id,
+        // never shuffled; nq2 − 2·dot + nc2 is the same double
+        // arithmetic (and fold order) the oracle replays.
+        val short = adcAll
+          .withColumn("arank", row_number().over(w))
+          .where(col("arank") <= depth)
+          .select(col("query_id"), col("vec_id"), col("cell"))
+        val cand = broadcast(short)
+          .join(vectors.select(col("vec_id"), col("embedding").as("__ec")),
+            Seq("vec_id"))
+        val qv = vectors.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__eq"))
+        val w2 = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+        cand.join(broadcast(qv), Seq("query_id"))
+          .withColumn("d2",
+            dot(col("__eq"), col("__eq"))
+              - lit(2.0) * dot(col("__eq"), col("__ec"))
+              + dot(col("__ec"), col("__ec")))
+          .withColumn("rank", row_number().over(w2))
+          .where(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
+            round(col("d2"), 6).as("d2"))
+          .orderBy("query_id", "rank")
+    }
   }
 
   private val dotSql =
@@ -252,6 +316,34 @@ object IvfPq {
 
   private[graft] def sampledOracleSql: String =
     oracleSqlFor(SampledCentroidDir, SampledCodebookDir)
+
+  /** The rerank replay: the shared pipeline ranks the shortlist by ADC,
+    * then the exact d2 over raw embeddings re-orders it — a wrong
+    * shortlist member, a rank produced by the approximate instead of
+    * the exact distance, or a drifted exact fold all hash-fail.
+    */
+  private[graft] def rerankOracleSql: String = {
+    val base = oracleSqlFor(RerankCentroidDir, RerankCodebookDir)
+    val prefix = base.substring(0, base.lastIndexOf("SELECT query_id,"))
+    s"""${prefix},
+       |shortlist AS (
+       |  SELECT query_id, vec_id, cell FROM ranked WHERE rank <= $RerankDepth),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id, s.cell,
+       |    ${dotSql("q.embedding", "q.embedding")}
+       |      - 2.0 * ${dotSql("q.embedding", "c.embedding")}
+       |      + ${dotSql("c.embedding", "c.embedding")} AS d2
+       |  FROM shortlist s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.vec_id),
+       |reranked AS (
+       |  SELECT query_id, vec_id, cell, d2,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, vec_id) AS INTEGER) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, vec_id, cell, round(d2, 6) AS d2
+       |FROM reranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def oracleSqlFor(centDir: String, cbDir: String): String =
     s"""WITH cent AS (

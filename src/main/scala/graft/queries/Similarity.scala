@@ -307,6 +307,7 @@ object Similarity extends QueryModule {
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (IvfPq.simIvfPq _),
     "sim_ivfpq_sampled" -> (IvfPq.simIvfPqSampled _),
+    "sim_ivfpq_rerank" -> (IvfPq.simIvfPqRerank _),
   )
 
   private val dotSql =
@@ -467,5 +468,6 @@ object Similarity extends QueryModule {
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "sim_ivfpq" -> IvfPq.oracleSql,
     "sim_ivfpq_sampled" -> IvfPq.sampledOracleSql,
+    "sim_ivfpq_rerank" -> IvfPq.rerankOracleSql,
   )
 }

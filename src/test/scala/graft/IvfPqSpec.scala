@@ -84,6 +84,72 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("rerank: exact metric on the shortlist — recall >= ADC-only, d2 exact") {
+    // Same sampled training inputs → bit-identical model tables, so
+    // the rerank output is exactly the sampled variant's ADC ranking
+    // re-ordered by true L2 at depth 10. Recall must not drop (it can
+    // only fix ADC misorderings inside the shortlist), and every
+    // reported d2 must equal an independent plain-Scala fold.
+    val bigDir = "/root/testdata/sf0.1"
+    val rerank = IvfPq.simIvfPqRerank(spark, bigDir).collect()
+    val adcOnly = topSets(IvfPq.simIvfPqSampled(spark, bigDir).collect())
+
+    val bigEmb = graft.sources.Tables(spark, bigDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val q = bigEmb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val c = bigEmb.select(col("vec_id"), col("embedding").as("ec"))
+    val wt = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val truth = topSets(q.crossJoin(c).where(col("query_id") =!= col("vec_id"))
+      .withColumn("d2", Similarity.dotBuiltin(col("eq"), col("eq"))
+        - lit(2.0) * Similarity.dotBuiltin(col("eq"), col("ec"))
+        + Similarity.dotBuiltin(col("ec"), col("ec")))
+      .withColumn("rank", row_number().over(wt))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id").collect())
+    def recall(ann: Map[Long, Set[Long]]): Double =
+      truth.map { case (qid, t) =>
+        ann.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    val rR = recall(topSets(rerank))
+    val rA = recall(adcOnly)
+    info(f"recall@3 at sf0.1: rerank=$rR%.3f adc-only=$rA%.3f")
+    assert(rR >= rA, f"exact rerank must not recall worse: $rR%.3f < $rA%.3f")
+
+    // independent exact-metric replay (same left-fold double arithmetic)
+    val vecs = bigEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def fold(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    rerank.foreach { r =>
+      val (qid, vid, d2) = (r.getLong(0), r.getLong(2), r.getDouble(4))
+      val (eq, ec) = (vecs(qid), vecs(vid))
+      val want = fold(eq, eq) - 2.0 * fold(eq, ec) + fold(ec, ec)
+      assert(math.abs(d2 - want) < 1e-6,
+        s"query $qid candidate $vid: reported d2=$d2, exact=$want")
+    }
+    // ranks ordered by the exact metric, not the ADC one
+    rerank.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(byRank.sameElements(byRank.sorted),
+        s"query $qid: ranks not ordered by exact d2: ${byRank.toList}")
+    }
+  }
+
+  test("rerank plan: shortlist + raw-vector fetches broadcast, no new shuffle") {
+    val p = IvfPq.simIvfPqRerank(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"no merge join anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    val keyLists = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+      .map(_.split(",\\s*").toList.dropRight(1)
+        .map(_.takeWhile(_ != '#')))
+    assert(keyLists.nonEmpty && keyLists.forall(k =>
+      k == List("vec_id") || k == List("query_id") || k == List("m")),
+      s"only the argmin/rank windows (and the tiny codebook pivot) may " +
+        s"exchange, got $keyLists:\n$p")
+  }
+
   test("plan: model joins broadcast; the ADC aggregate adds NO new shuffle") {
     val p = IvfPq.simIvfPq(spark, sfDir).queryExecution.executedPlan.toString
     // the coarse centroid passes are broadcast loops (KmeansIvf.ranked);
