@@ -721,6 +721,60 @@ object Dedup extends QueryModule {
     settled(extents, grams)
   }
 
+  /** Span CUTTING — the transformation [[ddDupSpanExtents]] only plans:
+    * remove every token covered by a duplicated window from each
+    * document (Lee et al. 2021 cut the spans and kept the documents).
+    * A token is cut iff ANY duplicated k-window covers it, which is
+    * exactly the union of the extents — overlap-safe without a merge
+    * step. Emits the cleaning manifest a pipeline audits: original /
+    * kept / cut token counts plus the md5 of the kept token stream
+    * (so the oracle pins the cut CONTENT, not just its size).
+    *
+    * Plan shape: the dup-window starts collapse to ONE bounded array
+    * per document (|starts| ≤ doc length), join back 1:1 on doc_id,
+    * and the cut itself is in-row array arithmetic — covered =
+    * flatten of per-start ranges, kept = indexed filter against it.
+    * No pair join, nothing corpus-global; docs shorter than
+    * [[DupSpanK]] (no windows) pass through whole via the left join.
+    */
+  def ddSpanCut(s: SparkSession, dir: String): DataFrame =
+    spanCut(graft.core.FanOut(Tables(s, dir).documents))
+
+  /** Core of [[ddSpanCut]] over any (doc_id, text) frame, so
+    * DupSpansSpec can pin the cut arithmetic on crafted fixtures.
+    */
+  private[graft] def spanCut(docs0: DataFrame): DataFrame = {
+    val t = docs0.select(col("doc_id"),
+      filter(graft.functions.ByteSplit.split(col("text")),
+        x => x =!= "").as("__w"))
+    val grams = t.where(size(col("__w")) >= DupSpanK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $DupSpanK), " +
+          s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))"))
+        .as(Seq("i", "gh")))
+      .persist()
+    grams.count()
+    val hot = grams.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("gh")
+    val starts = grams.join(hot, Seq("gh"))
+      .groupBy("doc_id").agg(collect_list(col("i")).as("__starts"))
+    val out = t.join(starts, Seq("doc_id"), "left")
+      .withColumn("__covered", when(col("__starts").isNull, array())
+        .otherwise(array_distinct(flatten(transform(col("__starts"),
+          j => sequence(j, j + lit(DupSpanK - 1)))))))
+      .withColumn("__keep", filter(col("__w"),
+        (x, idx) => !array_contains(col("__covered"), idx)))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(col("__w")) - size(col("__keep"))).cast("long").as("n_cut"),
+        md5(array_join(col("__keep"), " ")).as("kept_md5"))
+      .orderBy("doc_id")
+    settled(out, grams)
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * formation step a dedup pipeline runs AFTER pair generation, turning
     * verified near-dup pairs into keep/drop groups (cluster id = the
@@ -1159,6 +1213,7 @@ object Dedup extends QueryModule {
     "dd_semdedup" -> (ddSemdedup _),
     "dd_dup_spans" -> (ddDupSpans _),
     "dd_dup_span_extents" -> (ddDupSpanExtents _),
+    "dd_span_cut" -> (ddSpanCut _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1567,5 +1622,35 @@ object Dedup extends QueryModule {
          |  CAST(count(*) AS BIGINT) AS n_dup_windows
          |FROM dup GROUP BY doc_id, island
          |ORDER BY doc_id, start_tok""".stripMargin,
+    // Same hot-gram build; the cut replays as covered = union of
+    // per-start ranges (range() is end-exclusive = Spark's inclusive
+    // sequence(j, j+k-1)), kept = 1-based indexed filter against it
+    "dd_span_cut" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |    md5(array_to_string(w[i + 1:i + $DupSpanK], ' ')) AS gh
+         |  FROM w, LATERAL unnest(range(0, len(w) - ${DupSpanK - 1})) AS u(i)
+         |  WHERE len(w) >= $DupSpanK),
+         |d AS (SELECT DISTINCT doc_id, gh FROM gr),
+         |hot AS (SELECT gh FROM d GROUP BY gh HAVING count(*) >= 2),
+         |starts AS (
+         |  SELECT gr.doc_id,
+         |    list_distinct(flatten(list_transform(list(gr.i),
+         |      j -> range(j, j + $DupSpanK)))) AS covered
+         |  FROM gr JOIN hot ON gr.gh = hot.gh GROUP BY gr.doc_id),
+         |cut AS (
+         |  SELECT w.doc_id, w.w,
+         |    CASE WHEN s.covered IS NULL THEN w.w
+         |      ELSE list_filter(w.w, (t, ix) ->
+         |        NOT list_contains(s.covered, ix - 1)) END AS kept
+         |  FROM w LEFT JOIN starts s ON w.doc_id = s.doc_id)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_cut,
+         |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM cut ORDER BY doc_id""".stripMargin,
   )
 }

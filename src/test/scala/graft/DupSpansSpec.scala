@@ -97,16 +97,57 @@ class DupSpansSpec extends SparkSpec {
     assert(got.filter(_._1 == 0L).toSeq === Seq((0L, 0, 9), (0L, 5, 14)))
   }
 
+  test("span cut removes exactly the union of covered tokens") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"s$i")
+    val a = (0 until 15).map(i => s"v$i")
+    val fixture = Seq(
+      // doc 0: 4 unique + shared12 -> cut [4,15], keep a0..a3
+      (0L, ((0 until 4).map(i => s"a$i") ++ shared).mkString(" ")),
+      // doc 1: the shared span alone -> fully cut, kept stream empty
+      (1L, shared.mkString(" ")),
+      // doc 2/3/4: overlapping-but-distinct shares (the extents case):
+      // doc 2 shares [0,9] with doc 3 and [5,14] with doc 4 -> union
+      // of covered tokens is [0,14] even though no window spans the seam
+      (2L, a.mkString(" ")),
+      (3L, (a.take(10) ++ Seq("bb1", "bb2")).mkString(" ")),
+      (4L, (Seq("cc1", "cc2") ++ a.slice(5, 15)).mkString(" ")),
+      // doc 5: sub-k -> no windows, passes through whole
+      (5L, (0 until K - 1).map(i => s"x$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.spanCut(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L), "every doc survives")
+    assert(got(0L) === ((16L, 4L, 12L, md5hex((0 until 4).map(i => s"a$i").mkString(" ")))))
+    assert(got(1L) === ((12L, 0L, 12L, md5hex(""))))
+    // doc 2: windows 0..2 (vs doc 3) cover [0,9], windows 5..7 (vs
+    // doc 4) cover [5,14] -> union [0,14], nothing kept
+    assert(got(2L) === ((15L, 0L, 15L, md5hex(""))))
+    // doc 3 keeps its 2 unique tokens; doc 4 likewise
+    assert(got(3L) === ((12L, 2L, 10L, md5hex("bb1 bb2"))))
+    assert(got(4L) === ((12L, 2L, 10L, md5hex("cc1 cc2"))))
+    assert(got(5L) === ((7L, 7L, 0L, md5hex((0 until K - 1).map(i => s"x$i").mkString(" ")))))
+  }
+
   test("plan: gram-keyed equi-joins only, no cartesian, no pair join") {
     for (q <- Seq(Dedup.ddDupSpans(spark, "/root/testdata/sf0.001"),
-        Dedup.ddDupSpanExtents(spark, "/root/testdata/sf0.001"))) {
+        Dedup.ddDupSpanExtents(spark, "/root/testdata/sf0.001"),
+        Dedup.ddSpanCut(spark, "/root/testdata/sf0.001"))) {
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
       val keyed = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[([a-z0-9_]+)#"
         .r.findAllMatchIn(p).map(_.group(1)).toList
-      assert(keyed.nonEmpty && keyed.forall(_ == "gh"),
-        s"every join must key on the gram hash, got $keyed:\n$p")
+      // gh = the hot-gram probe; doc_id = span-cut's 1:1 manifest
+      // re-join (one bounded starts-array row per doc — not a pair join)
+      assert(keyed.nonEmpty && keyed.forall(k => k == "gh" || k == "doc_id"),
+        s"every join must key on the gram hash or doc_id, got $keyed:\n$p")
     }
     spark.catalog.clearCache()
   }
