@@ -1088,7 +1088,106 @@ object Relational extends QueryModule {
       .orderBy("col_name")
   }
 
+  /** Bits per dimension for [[q54Zorder]]'s Morton interleave — 16+16
+    * → a 32-bit z-value. Gate keys fit 16 bits raw; at corpus scale
+    * the inputs are per-column RANKS (dense_rank or a histogram-bucket
+    * id), which is the standard production mapping (Delta/Iceberg
+    * OPTIMIZE ZORDER) and changes nothing downstream of the interleave.
+    */
+  private[graft] val ZBits = 16
+
+  /** The interleave as expression TEXT shared by both engines: bit i of
+    * the first key lands at z-bit 2i, of the second at 2i+1. Identical
+    * strings feed Spark's expr() and the DuckDB oracle, so the
+    * arithmetic cannot drift.
+    */
+  private[graft] def zExprSql(a: String, b: String): String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  /** Z-ORDER (Morton) clustering manifest — the multi-dimensional
+    * layout primitive (Morton 1966; Delta/Iceberg `OPTIMIZE ZORDER`):
+    * interleaving the bits of two keys gives a 1-D sort order whose
+    * contiguous ranges are 2-D quadrants, so range-partitioning the
+    * corpus by z and writing files in z-ranges makes per-file min/max
+    * stats prunable on EITHER predicate column — the 100 TB data-
+    * skipping story for scans filtered sometimes by part, sometimes by
+    * supplier. This query emits the per-z-range manifest a writer
+    * would produce: for each of the 16 top-nibble z-buckets, the row
+    * count and both dims' min/max — the bounded spans (vs. the full
+    * key domain a hash layout would show) ARE the skipping guarantee,
+    * and the oracle hash-pins the interleave arithmetic bit-for-bit.
+    *
+    * Plan: one scan (two columns pushed down), per-row integer bit
+    * ops, one 16-group aggregate. Nothing else.
+    */
+  def q54Zorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("z", expr(zExprSql("l_partkey", "l_suppkey")).cast("long"))
+      .withColumn("zbucket", shiftright(col("z"), 2 * ZBits - 4).cast("int"))
+    li.groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("z").as("z_min"), max("z").as("z_max"),
+        min("l_partkey").as("part_min"), max("l_partkey").as("part_max"),
+        min("l_suppkey").as("supp_min"), max("l_suppkey").as("supp_max"))
+      .orderBy("zbucket")
+  }
+
+  /** MERGE INTO (upsert + delete) — the lakehouse CDC-apply: a change
+    * batch of updates, deletes, and inserts merged against the orders
+    * snapshot in ONE full-outer join on the key (both sides hash-
+    * partition on o_orderkey once; at 100 TB the target side is
+    * bucketed/clustered on the key and the join co-locates — the merge
+    * never rewrites more than the touched partitions). The change
+    * batch is derived deterministically from the snapshot itself
+    * (delete keys ≡ 3 mod 11; update keys ≡ 0 mod 7 get +1.00 price
+    * and status 'U'; insert keys are %13 source rows re-keyed above
+    * the key space) with delete-beats-update precedence, so the oracle
+    * replays the batch exactly. Output is the audit manifest per
+    * (action, resulting status): row count and result-side cents — a
+    * wrong action routing, a lost insert, or an un-dropped delete all
+    * hash-fail.
+    */
+  def q55MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = o
+      .withColumn("op",
+        when(col("o_orderkey") % 11 === 3, "D")
+          .when(col("o_orderkey") % 7 === 0, "U"))
+      .where(col("op").isNotNull)
+      .select(col("o_orderkey").as("c_orderkey"), col("op"),
+        (col("o_totalprice") + lit(1.0)).as("c_totalprice"),
+        lit("U").as("c_status"))
+      .unionAll(o.where(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + lit(1000000000L)).as("c_orderkey"),
+          lit("I").as("op"), lit(1.23).as("c_totalprice"),
+          lit("N").as("c_status")))
+    val merged = o.join(changes, col("o_orderkey") === col("c_orderkey"),
+        "full_outer")
+      .withColumn("action",
+        when(col("op") === "D", "delete")
+          .when(col("op") === "U", "update")
+          .when(col("op") === "I", "insert")
+          .otherwise("keep"))
+      .withColumn("status",
+        when(col("action") === "keep", col("o_orderstatus"))
+          .when(col("action") === "delete", col("o_orderstatus"))
+          .otherwise(col("c_status")))
+      .withColumn("price",
+        when(col("action") === "keep", col("o_totalprice"))
+          .when(col("action") === "delete", col("o_totalprice"))
+          .otherwise(col("c_totalprice")))
+    merged.groupBy("action", "status")
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("price"))).as("cents"))
+      .orderBy("action", "status")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_zorder" -> (q54Zorder _),
+    "q55_merge_upsert" -> (q55MergeUpsert _),
     "q52_scd2" -> (q52Scd2 _),
     "q53_profile" -> (q53Profile _),
     "q30_bucketed_join" -> (q30BucketedJoin _),
@@ -1146,6 +1245,48 @@ object Relational extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     // the identical lag→running-sum→rollup→lead chain; IS DISTINCT FROM
+    // the interleave expression text is SHARED with the Spark side
+    // (zExprSql), so the bit arithmetic cannot drift between engines
+    "q54_zorder" ->
+      s"""WITH z0 AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(${zExprSql("l_partkey", "l_suppkey")} AS BIGINT) AS z
+         |  FROM lineitem),
+         |zb AS (SELECT *, CAST(z >> ${2 * ZBits - 4} AS INTEGER) AS zbucket FROM z0)
+         |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+         |  min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+         |FROM zb GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    // delete-beats-update precedence in the same CASE order as the
+    // engine; insert keys re-keyed above the key space; manifest =
+    // per-(action, resulting status) counts + result-side cents
+    "q55_merge_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS c_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 3 THEN 'D'
+        |         WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
+        |    o_totalprice + 1.0 AS c_totalprice, 'U' AS c_status
+        |  FROM o WHERE o_orderkey % 11 = 3 OR o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 AS c_orderkey, 'I' AS op,
+        |    1.23 AS c_totalprice, 'N' AS c_status
+        |  FROM o WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT CASE WHEN op = 'D' THEN 'delete'
+        |              WHEN op = 'U' THEN 'update'
+        |              WHEN op = 'I' THEN 'insert'
+        |              ELSE 'keep' END AS action,
+        |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_orderstatus
+        |         ELSE c_status END AS status,
+        |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_totalprice
+        |         ELSE c_totalprice END AS price
+        |  FROM o FULL OUTER JOIN changes ON o.o_orderkey = changes.c_orderkey)
+        |SELECT action, status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM merged GROUP BY action, status ORDER BY action, status""".stripMargin,
     // covers the first-row NULL the Spark side spells with isNull
     "q52_scd2" ->
       """WITH o AS (

@@ -375,4 +375,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("q54_zorder: two-column pruned scan, per-row bit ops, ONE aggregate") {
+    val p = plan("q54_zorder")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(sys.error(s"no FileScan in:\n$p"))
+    assert(scanCols.split(",").length == 2,
+      s"scan should read exactly l_partkey + l_suppkey, got: $scanCols")
+    val exchanges = "Exchange hashpartitioning\\(zbucket".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE zbucket-keyed exchange:\n$p")
+    assert(!p.contains("Join"), s"the interleave must not join:\n$p")
+  }
+
+  test("q54_zorder: Morton interleave round-trips both dimensions") {
+    // de-interleaving z must recover (p, s) exactly for 16-bit inputs —
+    // an independent plain-Scala replay of the shared expression text
+    val rnd = new scala.util.Random(54)
+    val cases = Seq((0, 0), (65535, 65535), (1, 0), (0, 1)) ++
+      Seq.fill(50)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    import spark.implicits._
+    val got = cases.toDF("l_partkey", "l_suppkey")
+      .selectExpr("l_partkey", "l_suppkey",
+        s"CAST(${graft.queries.Relational.zExprSql("l_partkey", "l_suppkey")} AS BIGINT) AS z")
+      .collect()
+    got.foreach { r =>
+      val (pk, sk, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val pBack = (0 until 16).map(i => (((z >> (2 * i)) & 1L) << i)).sum
+      val sBack = (0 until 16).map(i => (((z >> (2 * i + 1)) & 1L) << i)).sum
+      assert(pBack == pk && sBack == sk,
+        s"z=$z de-interleaves to ($pBack,$sBack), expected ($pk,$sk)")
+    }
+  }
+
+  test("q55_merge_upsert: ONE full-outer key join, change derivation join-free") {
+    val p = plan("q55_merge_upsert")
+    assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
+    val joins = "(?:SortMergeJoin|ShuffledHashJoin) \\[([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(joins == List("o_orderkey"),
+      s"exactly one key-equi merge join, got $joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian in the merge:\n$p")
+  }
 }
