@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * at, with Bench's timing discipline (warm-up pass, N timed passes,
   * caches cleared between passes, min reported).
   *
-  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup|ivfpq|rowops]
+  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup|ivfpq|rowops|r7ops]
   * Prints one JSON line; never run concurrently with Bench.
   */
 object ScaleStudy {
@@ -49,9 +49,21 @@ object ScaleStudy {
     // the study exists to MEASURE the claimed linearity across the
     // same three diverse decades the candidate-join families use.
     // One JVM, each query timed separately with Bench's discipline.
-    if (study == "rowops") {
-      val names = Seq("ta_winnow", "ta_heavy_hitters", "ta_hll_distinct",
-        "ta_chunk")
+    // "r7ops": the cap-bounded / constant-model round-7 additions —
+    // dd_winnow_pairs (WinnowPostingCap-bounded inverted-index join:
+    // candidate volume O(n·cap) BY CONSTRUCTION, no n-adaptive rule
+    // to resolve), dd_span_cut (gram-keyed join + in-row cut),
+    // ta_bloom (fixed 256-bit state), ta_bpe_train (rounds run on the
+    // distinct-WORD table, not the corpus), sim_ivfpq_rerank (sampled
+    // training + O(queries × R) exact pass). Same measurement-only
+    // contract as "rowops".
+    if (study == "rowops" || study == "r7ops") {
+      val names =
+        if (study == "rowops")
+          Seq("ta_winnow", "ta_heavy_hitters", "ta_hll_distinct", "ta_chunk")
+        else
+          Seq("dd_winnow_pairs", "dd_span_cut", "ta_bloom", "ta_bpe_train",
+            "sim_ivfpq_rerank")
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
       def once(name: String): Double = {
         val t0 = System.nanoTime()
@@ -67,7 +79,7 @@ object ScaleStudy {
         s""""$name":{"samples":[${samples.mkString(",")}],"min":${samples.min}}"""
       }
       spark.stop()
-      println(s"""{"metric":"rowops","n":$nDocs,""" +
+      println(s"""{"metric":"$study","n":$nDocs,""" +
         results.mkString("", ",", ",") + s""""sf":"$sfDir"}""")
       return
     }
@@ -111,7 +123,7 @@ object ScaleStudy {
               .write.format("noop").mode("overwrite").save()
           })
       case other =>
-        sys.error(s"unknown study '$other' (embed_lsh|semdedup|ivfpq|rowops)")
+        sys.error(s"unknown study '$other' (embed_lsh|semdedup|ivfpq|rowops|r7ops)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -972,6 +972,68 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Fixed-point scale for [[ddPagerank]] — 10¹² units of probability
+    * mass keep six significant digits through three damped iterations
+    * while every quantity stays far inside int64 (the total mass is
+    * PrScale by construction, so no sum exceeds ~10¹⁴).
+    */
+  private[graft] val PrScale = 1000000000000L
+  private[graft] val PrIters = 3
+  private[graft] val PrDamp = 85 // ×1/100 — the classic 0.85
+
+  /** PageRank centrality over the verified near-dup pair graph — the
+    * graph-analytics complement to [[ddCluster]]: where components give
+    * keep/drop GROUPS, centrality ranks members WITHIN a quasi-clique
+    * (the most-connected member is the best canonical representative
+    * when no quality score is available, and degree alone can't break
+    * clique ties the damped walk can).
+    *
+    * Everything is INTEGER fixed-point so the oracle replays it
+    * exactly: pr₀ = S div N; per round, each node emits
+    * pr div deg to every neighbor and collects
+    * base + (85 · Σ incoming) div 100, base = ((S div N)·15) div 100 —
+    * floor division on positive int64 is engine-identical, so three
+    * iterations stay bit-exact (no float damping drift). [[PrIters]]
+    * fixed rounds, unrolled in the oracle's CTE chain.
+    *
+    * Scale shape: one edge-keyed equi-join + one node-keyed aggregate
+    * per round (the standard Pregel message round as two exchanges),
+    * N arrives as a broadcast 1-row stats frame, nothing driver-sided;
+    * rounds are fixed at [[PrIters]] so plan depth is constant.
+    */
+  def ddPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerank(ddMinhashLsh(s, dir).where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b"))
+
+  /** Core of [[ddPagerank]] over any (doc_a, doc_b) pair frame, so a
+    * spec can pin closed-form fixtures (stars, cliques, paths).
+    */
+  private[graft] def pagerank(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().persist()
+    e.count()
+    val deg = e.groupBy("a").agg(count(lit(1)).as("deg"))
+    val n1 = deg.agg(count(lit(1)).as("n_nodes"))
+    var pr = deg.crossJoin(broadcast(n1))
+      .select(col("a").as("doc_id"), col("deg"), col("n_nodes"),
+        expr(s"${PrScale}L div n_nodes").as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = pr.select(col("doc_id").as("b"),
+        expr("pr div deg").as("c"))
+      val inSum = e.join(contrib, "b")
+        .groupBy(col("a").as("doc_id")).agg(sum("c").as("s"))
+      pr = pr.drop("pr").join(inSum, "doc_id")
+        .withColumn("pr", expr(s"((${PrScale}L div n_nodes) * 15) div 100" +
+          s" + ($PrDamp * s) div 100"))
+        .select("doc_id", "deg", "n_nodes", "pr")
+    }
+    val out = pr.select(col("doc_id"), col("deg"), col("pr"))
+      .orderBy("doc_id")
+    settled(out, e)
+  }
+
   /** The dedup POLICY step — what a pipeline actually DOES with the
     * clusters: per near-dup cluster ([[ddCluster]]), keep the
     * highest-quality member ([[graft.queries.TextAnalysis.taQuality]]'s
@@ -1214,6 +1276,7 @@ object Dedup extends QueryModule {
     "dd_dup_spans" -> (ddDupSpans _),
     "dd_dup_span_extents" -> (ddDupSpanExtents _),
     "dd_span_cut" -> (ddSpanCut _),
+    "dd_pagerank" -> (ddPagerank _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1364,6 +1427,40 @@ object Dedup extends QueryModule {
         |    (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)
         |GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
     "dd_minhash_lsh" -> minhashOracleSql,
+    // the SAME pair derivation, then the three damped rounds unrolled —
+    // all floor division on positive int64, so bit-exact cross-engine;
+    // DuckDB sum() returns HUGEINT, cast back before the damping
+    "dd_pagerank" -> {
+      val base = s"(SELECT (($PrScale // n_nodes) * 15) // 100 FROM nn)"
+      def round(prev: String, cur: String): String =
+        s"""s$cur AS (
+           |  SELECT e.a AS doc_id, CAST(sum(p.pr // p.deg) AS BIGINT) AS s
+           |  FROM e JOIN pr$prev p ON e.b = p.doc_id GROUP BY e.a
+           |), pr$cur AS (
+           |  SELECT deg.a AS doc_id, deg.deg,
+           |    $base + ($PrDamp * s$cur.s) // 100 AS pr
+           |  FROM deg JOIN s$cur ON deg.a = s$cur.doc_id
+           |)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    $minhashOracleSql
+         |  ) WHERE jaccard >= 0.5
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), deg AS (
+         |  SELECT a, count(*) AS deg FROM e GROUP BY a
+         |), nn AS (SELECT count(*) AS n_nodes FROM deg),
+         |pr0 AS (
+         |  SELECT a AS doc_id, deg,
+         |    (SELECT $PrScale // n_nodes FROM nn) AS pr
+         |  FROM deg
+         |), ${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT doc_id, deg, pr FROM pr3 ORDER BY doc_id""".stripMargin
+    },
     // transitive closure (recursive CTE) over the SAME pair derivation
     // the Spark side clusters; cluster id = min reachable doc id
     "dd_cluster" ->
