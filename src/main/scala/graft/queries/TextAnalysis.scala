@@ -790,7 +790,81 @@ object TextAnalysis extends QueryModule {
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Feature-hash space for [[taDsir]] — same 2-hex-char/256-bucket
+    * gate width as [[ClassifierFeatureHexChars]]; width-agnostic (a
+    * production run widens the substring to 2^18+ buckets).
+    */
+  private[graft] val DsirFeatureHexChars = 2
+  private[graft] val DsirBuckets = 256
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every RAW-pool document by how much more
+    * likely its hashed-bigram features are under the TARGET
+    * distribution (here: the `lang = 'en'` sub-corpus) than under the
+    * raw pool's own distribution, and keep the documents the target
+    * model prefers. Features are md5-hashed bigram buckets
+    * ([[DsirBuckets]] at gate); both "models" are add-one-smoothed
+    * bucket unigrams; the per-feature log-ratio is INTEGER bit-length
+    * arithmetic (the [[taPplBucket]] discipline — engine-exact, no
+    * libm transcendentals):
+    *
+    *   s(b) = [bitlen(c_t(b)+1) − bitlen(N_t+B)]
+    *        − [bitlen(c_r(b)+1) − bitlen(N_r+B)]  ∈  log₂(p_t/p_r) ± 2
+    *
+    * doc weight = Σ s over the doc's bigram occurrences; keep ⇔ w > 0.
+    * (The paper samples ∝ the importance weight; the deterministic
+    * sign threshold is the same selection direction with an exactly
+    * replayable decision — the md5-coin sampler of [[taSample]]
+    * composes on top for the sampled variant.)
+    *
+    * Scale shape: one bigram fan-out feeding both model aggregates and
+    * the scoring pass (persisted once), two B-row count aggregates,
+    * the B-row score table broadcast back onto the raw stream, one
+    * doc-keyed aggregate — inference is scan-speed like
+    * [[taClassify]], and model size is B rows regardless of corpus.
+    */
+  def taDsir(s: SparkSession, dir: String): DataFrame =
+    dsirCore(docs(s, dir))
+
+  /** Core of [[taDsir]] over any (doc_id, lang, text) frame, so
+    * DsirSpec can pin the arithmetic on crafted fixtures.
+    */
+  private[graft] def dsirCore(d: DataFrame): DataFrame = {
+    val t = d
+      .select(col("doc_id"), col("lang"), filter(toks, x => x =!= "").as("__w"))
+      .where(size(col("__w")) >= 2)
+    val feats = t.select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bg"))
+      .withColumn("bucket",
+        substring(md5(concat(lit("graft-dsir-1|"), col("bg"))), 1,
+          DsirFeatureHexChars))
+      .select("doc_id", "lang", "bucket")
+      .persist()
+    feats.count()
+    val target = feats.where(col("lang") === "en")
+    val raw = feats.where(col("lang") =!= "en")
+    val mt = target.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val mr = raw.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val nt = target.agg(count(lit(1)).as("nt"))
+    val nr = raw.agg(count(lit(1)).as("nr"))
+    val scoreTable = mt.join(mr, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        ((length(bin(col("ct") + 1)) - length(bin(col("nt") + lit(DsirBuckets))))
+          - (length(bin(col("cr") + 1))
+            - length(bin(col("nr") + lit(DsirBuckets))))).as("s"))
+    val out = raw.join(broadcast(scoreTable), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("s")).cast("long").as("w_int"))
+      .withColumn("keep", col("w_int") > 0)
+      .orderBy("doc_id")
+    try { out.persist().count(); out } finally feats.unpersist()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_dsir" -> (taDsir _),
     "ta_chunk" -> (taChunk _),
     "ta_gopher_quality" -> (taGopherQuality _),
     "ta_shuffle_shard" -> (taShuffleShard _),
@@ -826,6 +900,36 @@ object TextAnalysis extends QueryModule {
     GopherStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // same bigram fan-out / md5 bucketing / bitlen log-ratio; the two
+    // model CTEs full-outer-merge so raw-only and target-only buckets
+    // both smooth to count 0 + 1
+    "ta_dsir" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    substr(md5('graft-dsir-1|' || w[CAST(i AS INTEGER)] || ' ' ||
+         |      w[CAST(i AS INTEGER) + 1]), 1, $DsirFeatureHexChars) AS bucket
+         |  FROM t, LATERAL unnest(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         |mt AS (SELECT bucket, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY bucket),
+         |mr AS (SELECT bucket, count(*) AS cr FROM f WHERE lang <> 'en' GROUP BY bucket),
+         |nt AS (SELECT count(*) AS n FROM f WHERE lang = 'en'),
+         |nr AS (SELECT count(*) AS n FROM f WHERE lang <> 'en'),
+         |sc AS (
+         |  SELECT coalesce(mt.bucket, mr.bucket) AS bucket,
+         |    (length(bin(coalesce(ct, 0) + 1))
+         |       - length(bin((SELECT n FROM nt) + $DsirBuckets)))
+         |    - (length(bin(coalesce(cr, 0) + 1))
+         |       - length(bin((SELECT n FROM nr) + $DsirBuckets))) AS s
+         |  FROM mt FULL OUTER JOIN mr ON mt.bucket = mr.bucket)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(sc.s) AS BIGINT) AS w_int,
+         |  (CAST(sum(sc.s) AS BIGINT) > 0) AS keep
+         |FROM f JOIN sc USING (bucket) WHERE f.lang <> 'en'
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     // the same start-list → slice → hash chain; // is DuckDB integer
     // division (Spark side uses div); list_slice's inclusive end =
     // start + size − 1 capped at len(w)
