@@ -608,8 +608,49 @@ object StreamingQueries extends QueryModule {
     s.read.parquet(out).orderBy("user_id", "n_total")
   }
 
+  /** Event-time sessionization on the transformWithState V2 TIMER
+    * surface ([[graft.streaming.TwsSessionizer]]) — the v2 twin of
+    * [[stSessionize]]: same single-batch source, same gap, same
+    * emitted-session aggregation, and the SAME ORACLE — the two state
+    * APIs must be result-identical, timer-closure semantics included
+    * (an engine whose v2 timers fire on a different watermark boundary
+    * than the legacy event-time timeout hash-fails against the shared
+    * replay). Provider + conf isolation as in [[stTwsCount]]
+    * (transformWithState requires RocksDB).
+    */
+  def stTwsSession(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // [e] glob: single-file table, same reason as stWordCount
+    val ev = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      .transform(graft.sources.Tables.normalizeEventTs)
+      .select(col("user_id"), col("ts")).as[graft.streaming.UserEvent]
+    val sessions = ev
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.TwsSessionizer(30),
+        TimeMode.EventTime(), OutputMode.Append())
+    val out = freshDir("st_tws_session/out")
+    val chk = freshDir("st_tws_session/chk")
+    val q = sessions.toDF().writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tws_count" -> (stTwsCount _),
+    "st_tws_session" -> (stTwsSession _),
     "st_session_window" -> (stSessionWindow _),
     "st_dedup" -> (stDedup _),
     "st_dedup_rocksdb" -> (stDedupRocksDb _),
@@ -734,7 +775,13 @@ object StreamingQueries extends QueryModule {
         |FROM sess, mx
         |WHERE last_us + 1800000000 <= (mxus // 1000) * 1000
         |ORDER BY user_id, s_start""".stripMargin,
-    "st_sessionize" ->
+    // shared verbatim with st_tws_session: the v2 timer path must be
+    // result-identical to the legacy event-time timeout
+    "st_sessionize" -> sessionizeOracle,
+    "st_tws_session" -> sessionizeOracle,
+  )
+
+  private lazy val sessionizeOracle: String =
       """WITH l AS (
         |  SELECT user_id, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -759,6 +806,5 @@ object StreamingQueries extends QueryModule {
         |FROM sess2, mx
         |WHERE sid < max_sid OR (end_us + 1800000000) // 1000 < mxus // 1000
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
-  )
+        |ORDER BY user_id""".stripMargin
 }

@@ -395,4 +395,19 @@ class StreamingSpec extends SparkSpec {
         s"user $u: final n_total ${ordered.last.getLong(2)} != sum of deltas $n")
     }
   }
+
+  test("st_tws_session: v2 timer sessionization == legacy flatMapGroupsWithState") {
+    import graft.queries.StreamingQueries
+    // the two state APIs run the SAME gap semantics over the same
+    // source; their per-user (n_sessions, n_events) aggregates must be
+    // row-identical — the in-engine twin of the shared-oracle contract
+    // (timer firing on a different watermark boundary than the legacy
+    // event-time timeout would break this)
+    val v2 = StreamingQueries.stTwsSession(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val legacy = StreamingQueries.defs("st_sessionize")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(v2.nonEmpty, "fixture produced no closed sessions")
+    assert(v2 === legacy, s"v2 timers diverged from legacy timeouts:\n$v2\nvs\n$legacy")
+  }
 }
