@@ -174,7 +174,51 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Where [[mmBinarySource]] stages its files — per-run unique,
+    * interpolated into the oracle SQL, read back by DuckDB after this
+    * JVM exits (same persistence contract as the ANN model dirs).
+    */
+  private[graft] lazy val BinarySourceDir = java.nio.file.Files
+    .createTempDirectory("graft_mm_binfiles_").toString
+
+  /** The `binaryFile` SOURCE under the oracle — the ingestion format a
+    * media pipeline actually starts from (a directory of raw image
+    * files, not a pre-built parquet column): stage one deterministic
+    * BMP per document (the [[mmDecodeReal]] dims, written from the
+    * EXECUTORS via foreachPartition — no driver-side loop; in a
+    * cluster the same code writes to DFS), then read the directory
+    * back with `spark.read.format("binaryFile")` and emit each file's
+    * name, source-reported length, and content digest. DuckDB replays
+    * via `read_blob` over the same directory — a file the source
+    * missed, a truncated read, or a length/stat mismatch hash-fails.
+    * The digest is md5 OVER THE HEX ENCODING (both engines render
+    * uppercase hex; DuckDB's md5 does not accept blobs directly).
+    * Capped at 200 files so the fixture stays a directory listing, not
+    * a corpus — the source's scaling (one task per file group,
+    * binaryFile's maxPartitionBytes packing) is Spark-native.
+    */
+  def mmBinarySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val stage = BinarySourceDir
+    Tables(s, dir).documents.select(col("doc_id"))
+      .where(col("doc_id") < 200).as[Long]
+      .foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          val bytes = MediaPipeline.encodeBmp((id % 64 + 1).toInt,
+            (id * 7 % 64 + 1).toInt)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage, f"doc_$id%05d.bmp"), bytes)
+        }
+      }
+    s.read.format("binaryFile").load(s"$stage/*.bmp")
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length"), md5(hex(col("content"))).as("content_md5"))
+      .orderBy("fname")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_source" -> (mmBinarySource _),
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
     "mm_decode_real" -> (mmDecodeReal _),
@@ -185,6 +229,14 @@ object Multimodal extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // read_blob over the directory the engine staged; digest over the
+    // (uppercase) hex rendering in both engines
+    "mm_binary_source" ->
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+         | CAST(size AS BIGINT) AS length,
+         | md5(hex(content)) AS content_md5
+         |FROM read_blob('$BinarySourceDir/*.bmp')
+         |ORDER BY fname""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, source,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -222,4 +222,23 @@ class MediaPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(viaDs == viaExpr)
   }
+
+  test("mm_binary_source: binaryFile reads back every staged file, bytes intact") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.queries.Multimodal.mmBinarySource(spark, sfDir).collect()
+    assert(rows.length == 200, s"one file per doc_id < 200, got ${rows.length}")
+    // every length obeys the BMP geometry of its doc id, and the digest
+    // matches an in-JVM recomputation from the same generator
+    rows.foreach { r =>
+      val (fname, len, md5hex) = (r.getString(0), r.getLong(1), r.getString(2))
+      val id = fname.stripPrefix("doc_").stripSuffix(".bmp").toLong
+      val bytes = graft.multimodal.MediaPipeline.encodeBmp(
+        (id % 64 + 1).toInt, (id * 7 % 64 + 1).toInt)
+      assert(len == bytes.length.toLong, s"$fname: source length $len != ${bytes.length}")
+      val hex = bytes.map("%02X".format(_)).mkString
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5hex == want, s"$fname: content digest drifted")
+    }
+  }
 }
