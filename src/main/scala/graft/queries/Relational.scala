@@ -1020,7 +1020,20 @@ object Relational extends QueryModule {
     * filtered orders, then in-partition windows and aggregates only.
     * The custkey filter is pushed to the parquet scan.
     */
-  def q52Scd2(s: SparkSession, dir: String): DataFrame = {
+  def q52Scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Core(s, dir)
+      .select(col("custkey"), col("version"), col("status"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_orders"),
+        col("vt").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+
+  /** The SCD2 history with RAW timestamp interval bounds —
+    * [[q52Scd2]]'s body minus the display formatting, so
+    * [[q56PitJoin]] can range-probe the intervals.
+    */
+  private[graft] def scd2Core(s: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy("o_custkey")
       .orderBy("o_orderdate", "o_orderkey")
     val o = Tables(s, dir).orders
@@ -1041,11 +1054,42 @@ object Relational extends QueryModule {
       .withColumn("vt", lead("vf", 1).over(byVersion))
       .select(col("o_custkey").as("custkey"),
         col("version").cast("int").as("version"), col("status"),
-        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
-        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
-        col("n_orders"),
-        col("vt").isNull.as("is_current"))
-      .orderBy("custkey", "version")
+        col("vf"), col("vt"), col("n_orders"))
+  }
+
+  /** POINT-IN-TIME join against the SCD2 history — the feature-store
+    * training-data correctness operator: every fact row must see the
+    * dimension version that was valid AT ITS OWN EVENT TIME, never a
+    * later one (joining current-state attributes onto historical facts
+    * is the classic label-leakage bug). Each filtered order probes the
+    * [[scd2Core]] intervals: version valid at d ⇔ vf ≤ d < vt (open
+    * end; NULL vt = current). Intervals tile each customer's timeline,
+    * so every order matches EXACTLY one version — row preservation is
+    * the PIT invariant (PlanShapeSpec asserts it).
+    *
+    * Scale shape: the probe is a custkey-EQUI join with the interval
+    * test as a residual filter — dimension history per key is bounded
+    * (versions, not facts), so this is the standard bounded-history
+    * PIT plan: one key-partitioned shuffle of each side, no range-join
+    * explosion, no window over facts. Output: the (dim-status-at-time,
+    * order-own-status) audit matrix — off-diagonal mass would mean the
+    * probe read the wrong version.
+    */
+  def q56PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2Core(s, dir)
+      .select(col("custkey"), col("status").as("dim_status"),
+        col("vf"), col("vt"))
+    val o = Tables(s, dir).orders
+      .where(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+    o.join(hist, Seq("custkey"))
+      .where(col("vf") <= col("o_orderdate") &&
+        (col("vt").isNull || col("o_orderdate") < col("vt")))
+      .groupBy("dim_status", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("custkey")).as("n_custs"))
+      .orderBy("dim_status", "o_orderstatus")
   }
 
   /** Column profiling — the data-quality scan a pipeline runs before
@@ -1187,6 +1231,7 @@ object Relational extends QueryModule {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_zorder" -> (q54Zorder _),
+    "q56_pit_join" -> (q56PitJoin _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q52_scd2" -> (q52Scd2 _),
     "q53_profile" -> (q53Profile _),
@@ -1245,6 +1290,37 @@ object Relational extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     // the identical lag→running-sum→rollup→lead chain; IS DISTINCT FROM
+    // the q52 version CTEs with raw timestamps, then the interval
+    // probe: custkey equi-join + vf <= d < vt residual; every order
+    // matches exactly one version (intervals tile the timeline)
+    "q56_pit_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM
+        |      o_orderstatus THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |v AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey AS custkey, version, o_orderstatus AS status,
+        |    min(o_orderdate) AS vf
+        |  FROM v GROUP BY o_custkey, version, o_orderstatus),
+        |h AS (
+        |  SELECT custkey, status AS dim_status, vf,
+        |    lead(vf) OVER (PARTITION BY custkey ORDER BY version) AS vt
+        |  FROM g)
+        |SELECT h.dim_status, o.o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+        |FROM o JOIN h ON o.o_custkey = h.custkey
+        |  AND h.vf <= o.o_orderdate
+        |  AND (h.vt IS NULL OR o.o_orderdate < h.vt)
+        |GROUP BY h.dim_status, o.o_orderstatus
+        |ORDER BY h.dim_status, o.o_orderstatus""".stripMargin,
     // the interleave expression text is SHARED with the Spark side
     // (zExprSql), so the bit arithmetic cannot drift between engines
     "q54_zorder" ->

@@ -407,6 +407,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q56_pit_join: every fact row sees exactly one dimension version") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // the PIT invariant: the interval probe preserves fact cardinality
+    // (0 matches = a coverage hole, 2+ = overlapping versions — both
+    // are the label-leakage bugs the operator exists to prevent)
+    val joined = graft.queries.Relational.q56PitJoin(spark, sfDir)
+      .agg(sum("n_orders")).collect()(0).getLong(0)
+    val facts = graft.sources.Tables(spark, sfDir).orders
+      .where(col("o_custkey") % 10 === 0).count()
+    assert(joined === facts,
+      s"PIT join must preserve fact cardinality: $joined != $facts")
+    // plan: a custkey equi-join with the interval test residual — no
+    // range-join explosion, no cartesian
+    val p = plan("q56_pit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the interval probe must ride the key equi-join:\n$p")
+    val joins = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(joins == List("custkey"), s"one custkey-keyed join, got $joins:\n$p")
+  }
+
   test("q55_merge_upsert: ONE full-outer key join, change derivation join-free") {
     val p = plan("q55_merge_upsert")
     assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
