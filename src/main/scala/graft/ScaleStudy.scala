@@ -57,13 +57,20 @@ object ScaleStudy {
     // distinct-WORD table, not the corpus), sim_ivfpq_rerank (sampled
     // training + O(queries × R) exact pass). Same measurement-only
     // contract as "rowops".
-    if (study == "rowops" || study == "r7ops") {
-      val names =
-        if (study == "rowops")
+    // "r7ops2": the late-round-7 corpus-scale pair — dd_pagerank
+    // (minhash pair derivation + 3 bounded Pregel rounds; graph size
+    // is linear in n under the diverse upscale because duplication
+    // stays per-replica) and ta_dsir (one bigram fan-out + two B-row
+    // models + broadcast scoring — claimed scan-speed).
+    if (study == "rowops" || study == "r7ops" || study == "r7ops2") {
+      val names = study match {
+        case "rowops" =>
           Seq("ta_winnow", "ta_heavy_hitters", "ta_hll_distinct", "ta_chunk")
-        else
+        case "r7ops" =>
           Seq("dd_winnow_pairs", "dd_span_cut", "ta_bloom", "ta_bpe_train",
             "sim_ivfpq_rerank")
+        case _ => Seq("dd_pagerank", "ta_dsir")
+      }
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
       def once(name: String): Double = {
         val t0 = System.nanoTime()

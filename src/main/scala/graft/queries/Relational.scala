@@ -1229,9 +1229,63 @@ object Relational extends QueryModule {
       .orderBy("action", "status")
   }
 
+  /** Target compacted-file size for [[q57CompactionPlan]] — small so
+    * the sf0.01 fixture produces multiple groups per partition; a
+    * production run passes its table's target (128–1024 MB).
+    */
+  private[graft] val CompactionTargetBytes = 16384L
+
+  /** Where [[q57CompactionPlan]] stages its partitioned layout —
+    * deliberately NOT under [[scratchRoot]]/TempDirs: the oracle's
+    * read_blob lists this directory AFTER the JVM exits (the same
+    * persistence contract as the ANN model dirs).
+    */
+  private[graft] lazy val CompactionStageDir = java.nio.file.Files
+    .createTempDirectory("graft_q57_part_").toString
+
+  /** Small-files COMPACTION PLANNING — the lakehouse maintenance
+    * operator (OPTIMIZE/rewriteDataFiles): a partitioned write shatters
+    * the table into per-task files; the planner lists the layout and
+    * assigns files to target-size rewrite groups. Grouping is the
+    * [[TextAnalysis.taSeqPack]] formulation of greedy first-fit —
+    * group = floor(cumulative-bytes-before / target) within each
+    * partition, a per-partition running sum + integer division, never
+    * anything global (at 100 TB the listing itself is the big input;
+    * it shuffles once on the partition key and each partition's plan
+    * is an in-partition window). File listing rides the `binaryFile`
+    * source (path + length only — content is never read, the column
+    * is pruned). The oracle lists the SAME staged directory via
+    * read_blob and replays the pack arithmetic — a missed file, a
+    * wrong size, or a drifted group boundary hash-fails.
+    */
+  def q57CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val base = CompactionStageDir
+    // repartition(8) deliberately SHATTERS the layout (8 writer tasks
+    // x 5 partition values -> ~40 small files) so the plan has real
+    // packing work — the small-files problem this operator exists for
+    Tables(s, dir).events
+      .select(col("ts"), col("user_id"), col("value"), col("event_type"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val files = s.read.format("binaryFile").load(s"$base/*/*.parquet")
+      .select(col("path"), col("length"))
+      .withColumn("part", regexp_extract(col("path"), "event_type=([^/]+)/", 1))
+      .withColumn("fname", element_at(split(col("path"), "/"), -1))
+    val w = Window.partitionBy("part").orderBy("fname")
+    files
+      .withColumn("cum_before", coalesce(
+        sum("length").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("grp", expr(s"cum_before div $CompactionTargetBytes"))
+      .groupBy("part", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("length").as("bytes"))
+      .orderBy("part", "grp")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_zorder" -> (q54Zorder _),
     "q56_pit_join" -> (q56PitJoin _),
+    "q57_compaction_plan" -> (q57CompactionPlan _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q52_scd2" -> (q52Scd2 _),
     "q53_profile" -> (q53Profile _),
@@ -1321,6 +1375,25 @@ object Relational extends QueryModule {
         |  AND (h.vt IS NULL OR o.o_orderdate < h.vt)
         |GROUP BY h.dim_status, o.o_orderstatus
         |ORDER BY h.dim_status, o.o_orderstatus""".stripMargin,
+    // read_blob over the staged layout (sizes only), then the same
+    // per-partition filename-ordered running sum and integer division
+    "q57_compaction_plan" -> {
+      val base = CompactionStageDir
+      s"""WITH f AS (
+         |  SELECT regexp_extract(filename, 'event_type=([^/]+)/', 1) AS part,
+         |    regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+         |    CAST(size AS BIGINT) AS length
+         |  FROM read_blob('$base/*/*.parquet')),
+         |c AS (
+         |  SELECT part, length,
+         |    coalesce(sum(length) OVER (PARTITION BY part ORDER BY fname
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM f)
+         |SELECT part, CAST(cum_before // $CompactionTargetBytes AS BIGINT) AS grp,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(length) AS BIGINT) AS bytes
+         |FROM c GROUP BY part, grp ORDER BY part, grp""".stripMargin
+    },
     // the interleave expression text is SHARED with the Spark side
     // (zExprSql), so the bit arithmetic cannot drift between engines
     "q54_zorder" ->

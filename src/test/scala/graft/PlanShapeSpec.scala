@@ -428,6 +428,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins == List("custkey"), s"one custkey-keyed join, got $joins:\n$p")
   }
 
+  test("q57_compaction_plan: pack arithmetic replayed from the staged listing") {
+    val got = graft.queries.Relational.q57CompactionPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // independent replay straight off the filesystem: same filename
+    // order, same running sum, same integer division
+    val target = graft.queries.Relational.CompactionTargetBytes
+    val base = new java.io.File(graft.queries.Relational.CompactionStageDir)
+    val want = base.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      .flatMap { pd =>
+        val part = pd.getName.stripPrefix("event_type=")
+        val files = pd.listFiles().filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        var cum = 0L
+        val tagged = files.map { f =>
+          val g = cum / target; cum += f.length(); (part, g, f.length())
+        }
+        tagged.groupBy(x => (x._1, x._2)).map { case ((p, g), fs) =>
+          (p, g, fs.length.toLong, fs.map(_._3).sum)
+        }
+      }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got === want, s"plan diverged from the filesystem replay:\n$got\nvs\n$want")
+    // non-vacuous: the shattered layout must force real multi-file groups
+    assert(got.exists(_._3 > 1), s"fixture never packed 2+ files: $got")
+  }
+
   test("q55_merge_upsert: ONE full-outer key join, change derivation join-free") {
     val p = plan("q55_merge_upsert")
     assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
