@@ -133,6 +133,58 @@ object Dedup extends QueryModule {
       .orderBy("fingerprint")
   }
 
+  /** BLOOM-GATED incremental dedup — the production accelerator in
+    * front of [[ddIncremental]]'s anti-join: the history's fingerprint
+    * set collapses to a fixed-size Bloom bit set
+    * ([[Sketches.bloomBit]], 256 bits / 3 hashes at gate — widen the
+    * constants, nothing else changes), and every batch document is
+    * first probed against the BROADCAST bits. bloom_hit = false proves
+    * the fingerprint is new WITHOUT touching the history table — at
+    * 100 TB that is the point: the history side ships 32-byte
+    * OR-mergeable partials instead of a shuffle, and only the (few)
+    * bloom-accepted rows pay the exact join. Both the gate decision
+    * AND the exact membership go under the oracle per batch document,
+    * so the structural no-false-negative guarantee (is_dup ⇒
+    * bloom_hit) is hash-enforced row by row, and the false-positive
+    * rows (bloom_hit ∧ ¬is_dup — the rows the exact join exists to
+    * re-check) are pinned exactly.
+    */
+  def ddBloomGate(s: SparkSession, dir: String): DataFrame =
+    bloomGateCore(Tables(s, dir).documents)
+
+  /** Core of [[ddBloomGate]] over any (doc_id, text) frame, so
+    * SketchesSpec can pin the is_dup ⇒ bloom_hit arm on a fixture with
+    * real cross-split duplicates (the testdata corpus has none).
+    */
+  private[graft] def bloomGateCore(docs: DataFrame): DataFrame = {
+    val ks = explode(sequence(lit(0), lit(Sketches.BloomHashes - 1))).as("k")
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val history = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select(fp.as("fingerprint")).distinct()
+    val bits = history.select(ks, col("fingerprint"))
+      .select(Sketches.bloomBit(col("k"), col("fingerprint")).as("bit"))
+      .distinct()
+    val batch = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"), fp.as("fingerprint"))
+    // membership = ALL of the probe's DISTINCT bits present (same
+    // collision-exact contract as ta_bloom)
+    val probeBits = batch.select(col("doc_id"), ks, col("fingerprint"))
+      .select(col("doc_id"),
+        Sketches.bloomBit(col("k"), col("fingerprint")).as("bit"))
+      .distinct()
+    val need = probeBits.groupBy("doc_id").agg(count(lit(1)).as("need"))
+    val hits = probeBits.join(broadcast(bits), Seq("bit"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val gate = need.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("hits"), lit(0L)) === col("need")).as("bloom_hit"))
+    batch.join(gate, Seq("doc_id"))
+      .join(history.withColumn("__dup", lit(true)), Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"), col("bloom_hit"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash + LSH banded near-dup: shingle → 8 minhashes → 4 bands of
     * 2 → candidate pairs from band-equality self-join → verify exact
     * shingle-set Jaccard on candidates only.
@@ -1277,6 +1329,7 @@ object Dedup extends QueryModule {
     "dd_dup_span_extents" -> (ddDupSpanExtents _),
     "dd_span_cut" -> (ddSpanCut _),
     "dd_pagerank" -> (ddPagerank _),
+    "dd_bloom_gate" -> (ddBloomGate _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1426,6 +1479,37 @@ object Dedup extends QueryModule {
         |  AND fingerprint NOT IN
         |    (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)
         |GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    // history fingerprints → 256-bit bloom, per-batch-doc gate decision
+    // AND exact membership both replayed (is_dup ⇒ bloom_hit is then
+    // hash-enforced row by row)
+    "dd_bloom_gate" -> {
+      val mbit = Sketches.hexIntSql(
+        "md5('graft-bloom-' || CAST(i AS VARCHAR) || '|' || fingerprint)", 2)
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |  FROM documents),
+         |hist AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 4 <> 0),
+         |bits AS (
+         |  SELECT DISTINCT $mbit % ${Sketches.BloomBits} AS bit
+         |  FROM hist, range(0, ${Sketches.BloomHashes}) t(i)),
+         |batch AS (SELECT doc_id, fingerprint FROM f WHERE doc_id % 4 = 0),
+         |pb AS (
+         |  SELECT DISTINCT doc_id, $mbit % ${Sketches.BloomBits} AS bit
+         |  FROM batch, range(0, ${Sketches.BloomHashes}) t(i)),
+         |need AS (SELECT doc_id, count(*) AS need FROM pb GROUP BY doc_id),
+         |hit AS (
+         |  SELECT pb.doc_id, count(*) AS hits
+         |  FROM pb JOIN bits USING (bit) GROUP BY pb.doc_id)
+         |SELECT b.doc_id, b.fingerprint,
+         |  (coalesce(hit.hits, 0) = need.need) AS bloom_hit,
+         |  (h2.fingerprint IS NOT NULL) AS is_dup
+         |FROM batch b
+         |JOIN need ON b.doc_id = need.doc_id
+         |LEFT JOIN hit ON b.doc_id = hit.doc_id
+         |LEFT JOIN hist h2 ON b.fingerprint = h2.fingerprint
+         |ORDER BY b.doc_id""".stripMargin
+    },
     "dd_minhash_lsh" -> minhashOracleSql,
     // the SAME pair derivation, then the three damped rounds unrolled —
     // all floor division on positive int64, so bit-exact cross-engine;

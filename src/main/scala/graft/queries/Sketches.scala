@@ -38,7 +38,7 @@ object Sketches extends QueryModule {
     * fold (DuckDB has no conv()); each term cast BIGINT before the
     * place-value multiply so 8-digit values never overflow INT32.
     */
-  private def hexIntSql(hexExpr: String, nDigits: Int): String =
+  private[graft] def hexIntSql(hexExpr: String, nDigits: Int): String =
     (0 until nDigits).map { i =>
       val mult = BigInt(16).pow(nDigits - 1 - i)
       val digit =

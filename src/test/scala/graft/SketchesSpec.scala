@@ -221,4 +221,37 @@ class SketchesSpec extends SparkSpec {
     assert((fps(10L) & fps(11L)).nonEmpty,
       "no shared fingerprint despite a shared 6-token run")
   }
+
+  test("dd_bloom_gate: no false negatives; the exact join still has work") {
+    // the oracled corpus query (the testdata has NO duplicate
+    // fingerprints, so only the gate/false-positive arm is exercisable
+    // there)
+    val corpus = graft.queries.Dedup.ddBloomGate(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    assert(corpus.nonEmpty)
+    corpus.foreach { case (id, bloomHit, isDup) =>
+      assert(!isDup || bloomHit, s"doc $id: is_dup without bloom_hit")
+    }
+    assert(corpus.exists { case (_, h, d) => h && !d },
+      "no false positives — the gate fixture is not exercising the re-check")
+
+    // crafted fixture with REAL cross-split duplicates: batch ids
+    // (÷4=0) echoing history texts must come back is_dup AND
+    // bloom_hit; a batch-only text must not be is_dup
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox"), (2L, "over the lazy dog"),
+      (3L, "entirely different words"),
+      (4L, "THE  quick   brown fox"), // normalizes to doc 1's fingerprint
+      (8L, "over the lazy dog"),      // exact echo of doc 2
+      (12L, "never seen before text"),
+    ).toDF("doc_id", "text")
+    val got = graft.queries.Dedup.bloomGateCore(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(4L, 8L, 12L))
+    assert(got(4L) === ((true, true)), s"normalized echo must gate+dup: $got")
+    assert(got(8L) === ((true, true)), s"exact echo must gate+dup: $got")
+    assert(!got(12L)._2, s"fresh text must not be is_dup: $got")
+  }
 }
