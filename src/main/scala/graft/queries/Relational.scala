@@ -1282,10 +1282,49 @@ object Relational extends QueryModule {
       .orderBy("part", "grp")
   }
 
+  /** Where [[q58SchemaEvolution]] stages its two-generation layout —
+    * outside TempDirs for the same oracle-persistence reason as
+    * [[CompactionStageDir]].
+    */
+  private[graft] lazy val EvolutionStageDir = java.nio.file.Files
+    .createTempDirectory("graft_q58_evo_").toString
+
+  /** SCHEMA EVOLUTION on read — the ingestion reality every long-lived
+    * 100 TB table faces: early batches were written before a column
+    * existed. Batch v1 (even doc ids) ships (doc_id, text_len); batch
+    * v2 (odd ids) adds `lang`. One `mergeSchema=true` read over the
+    * partitioned layout must surface EVERY row under the union schema,
+    * null-filling the pre-evolution rows — the oracle re-derives the
+    * same answer from the source-of-truth documents table, so a merge
+    * that dropped v1 rows, failed to null-fill, or leaked v2's column
+    * into v1 hash-fails. (mergeSchema costs a footer read per file at
+    * planning time — the production posture is to evolve the schema in
+    * the catalog instead; this query pins the read-side semantics that
+    * make that migration safe.)
+    */
+  def q58SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = EvolutionStageDir
+    val docs = Tables(s, dir).documents
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .write.mode("overwrite").parquet(s"$base/batch=v1")
+    docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), length(col("text")).as("text_len"), col("lang"))
+      .write.mode("overwrite").parquet(s"$base/batch=v2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(col("batch"),
+        coalesce(col("lang"), lit("<pre-evolution>")).as("lang_c"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_len").cast("long")).as("total_len"),
+        count(col("lang")).as("n_with_lang"))
+      .orderBy("batch", "lang_c")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_zorder" -> (q54Zorder _),
     "q56_pit_join" -> (q56PitJoin _),
     "q57_compaction_plan" -> (q57CompactionPlan _),
+    "q58_schema_evolution" -> (q58SchemaEvolution _),
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q52_scd2" -> (q52Scd2 _),
     "q53_profile" -> (q53Profile _),
@@ -1375,6 +1414,22 @@ object Relational extends QueryModule {
         |  AND (h.vt IS NULL OR o.o_orderdate < h.vt)
         |GROUP BY h.dim_status, o.o_orderstatus
         |ORDER BY h.dim_status, o.o_orderstatus""".stripMargin,
+    // re-derived from the source-of-truth documents table: v1 = even
+    // ids (no lang), v2 = odd ids (lang present); the engine side must
+    // reproduce this through the merged-schema read-back
+    "q58_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, length(text) AS text_len, NULL AS lang, 'v1' AS batch
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, length(text) AS text_len, lang, 'v2' AS batch
+        |  FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT batch, coalesce(lang, '<pre-evolution>') AS lang_c,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(text_len) AS BIGINT) AS total_len,
+        |  CAST(count(lang) AS BIGINT) AS n_with_lang
+        |FROM u GROUP BY batch, lang_c
+        |ORDER BY batch, lang_c""".stripMargin,
     // read_blob over the staged layout (sizes only), then the same
     // per-partition filename-ordered running sum and integer division
     "q57_compaction_plan" -> {

@@ -67,4 +67,20 @@ class IngestRobustnessSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("q58: mergeSchema surfaces every row under the union schema, null-filled") {
+    import org.apache.spark.sql.functions.col
+    graft.queries.Relational.q58SchemaEvolution(spark, "/root/testdata/sf0.001")
+      .collect() // stage + run the oracled query first
+    val base = graft.queries.Relational.EvolutionStageDir
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.schema.fieldNames.toSet ===
+      Set("doc_id", "text_len", "lang", "batch"))
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(merged.count() === total, "merged read lost rows")
+    // every pre-evolution row is null-filled, every v2 row populated
+    assert(merged.where(col("batch") === "v1" && col("lang").isNotNull).isEmpty)
+    assert(merged.where(col("batch") === "v2" && col("lang").isNull).isEmpty)
+  }
 }
