@@ -327,7 +327,19 @@ object Dedup extends QueryModule {
     * [[shingleDocs]]; cap-parameterized so tests can exercise the
     * hot-shingle guard on a synthetic boilerplate corpus.
     */
-  private[graft] def ngramJaccard(staged: DataFrame, cap: Int): DataFrame = {
+  private[graft] def ngramJaccard(staged: DataFrame, cap: Int): DataFrame =
+    pairCounts(staged, cap)
+      .withColumn("n_union", col("na") + col("nb") - col("n_common"))
+      .where(col("n_common") * 5 >= col("n_union"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
+        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared candidate machinery of [[ngramJaccard]] and
+    * [[ddContainment]]: (lang, doc_a, doc_b, n_common, na, nb) for
+    * every posting-overlapping pair under the hot-shingle cap.
+    */
+  private[graft] def pairCounts(staged: DataFrame, cap: Int): DataFrame = {
     // persist: feeds the size table and BOTH candidate self-join branches
     // — without it the shingle pipeline + cap re-runs three times.
     // Materialized EAGERLY (count) before the fan-out: the self-join's two
@@ -356,14 +368,36 @@ object Dedup extends QueryModule {
     settled(
       common
         .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-        .withColumn("n_union", col("na") + col("nb") - col("n_common"))
-        .where(col("n_common") * 5 >= col("n_union"))
-        .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
-          round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b"),
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b"),
       kept)
   }
+
+  /** CONTAINMENT pairs — the asymmetric near-SUBSET detector Jaccard
+    * structurally misses: a 40-shingle snippet wholly inside a
+    * 400-shingle page has J = 40/400 = 0.1 (invisible at any sane
+    * Jaccard threshold) but containment C(a→b) = |Sa∩Sb|/|Sa| = 1.0 —
+    * the quote/boilerplate/wrapper-page relationship a dedup pipeline
+    * must see (Broder 1997 distinguishes resemblance from containment
+    * for exactly this). Same capped-postings candidate machinery and
+    * pair-count join as [[ddNgramJaccard]] ([[pairCounts]] is shared
+    * verbatim — same O(n·cap) volume bound); the selection keeps pairs
+    * where the SMALLER side is ≥ 80 % contained
+    * (n_common·5 ≥ 4·min(na, nb), integer-exact), emitting both
+    * directional containments.
+    */
+  def ddContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(shingleDocs(graft.core.FanOut(Tables(s, dir).documents)),
+      PostingCap)
+
+  /** Core of [[ddContainment]], cap-parameterized like [[ngramJaccard]]. */
+  private[graft] def containmentPairs(staged: DataFrame, cap: Int): DataFrame =
+    pairCounts(staged, cap)
+      .where(col("n_common") * 5 >= least(col("na"), col("nb")) * 4)
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        col("n_common"), col("na"), col("nb"),
+        round(col("n_common").cast("double") / col("na"), 6).as("c_ab"),
+        round(col("n_common").cast("double") / col("nb"), 6).as("c_ba"))
+      .orderBy("doc_a", "doc_b")
 
   /** Capped postings index: explode each doc's distinct shingles, count
     * postings per (lang, shingle), keep only those within the cap, and
@@ -1330,6 +1364,7 @@ object Dedup extends QueryModule {
     "dd_span_cut" -> (ddSpanCut _),
     "dd_pagerank" -> (ddPagerank _),
     "dd_bloom_gate" -> (ddBloomGate _),
+    "dd_containment" -> (ddContainment _),
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -1681,6 +1716,35 @@ object Dedup extends QueryModule {
          |JOIN sizes a ON a.doc_id = c.doc_a
          |JOIN sizes b ON b.doc_id = c.doc_b
          |WHERE c.n_common * 5 >= a.n_sh + b.n_sh - c.n_common
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same capped-postings CTEs as dd_ngram_jaccard; selection on the
+    // smaller side's containment, both directions emitted
+    "dd_containment" ->
+      s"""$shingleCte, p AS (
+         |  SELECT lang, doc_id, unnest(list_distinct(sh)) AS shingle FROM s
+         |), ok AS (
+         |  SELECT lang, shingle FROM p
+         |  GROUP BY lang, shingle HAVING count(*) <= $PostingCap
+         |), kept AS (
+         |  SELECT p.lang, p.doc_id, p.shingle FROM p JOIN ok USING (lang, shingle)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id
+         |), common AS (
+         |  SELECT x.lang AS lang, x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM kept x JOIN kept y
+         |    ON x.lang = y.lang AND x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT c.lang, c.doc_a, c.doc_b,
+         |  CAST(c.n_common AS INTEGER) AS n_common,
+         |  CAST(a.n_sh AS INTEGER) AS na, CAST(b.n_sh AS INTEGER) AS nb,
+         |  round(c.n_common::DOUBLE / a.n_sh, 6) AS c_ab,
+         |  round(c.n_common::DOUBLE / b.n_sh, 6) AS c_ba
+         |FROM common c
+         |JOIN sizes a ON a.doc_id = c.doc_a
+         |JOIN sizes b ON b.doc_id = c.doc_b
+         |WHERE c.n_common * 5 >= least(a.n_sh, b.n_sh) * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_near" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

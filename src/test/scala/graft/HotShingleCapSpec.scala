@@ -78,4 +78,35 @@ class HotShingleCapSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected)
   }
+
+  test("containment sees the near-subset pair Jaccard structurally misses") {
+    import spark.implicits._
+    // doc 0: a long page; doc 1: a short snippet wholly inside it.
+    // J = |snippet|/|page| is tiny (below ngramJaccard's 0.2 gate);
+    // C(snippet → page) = 1.0.
+    val page = (0 until 60).map(i => s"p$i").mkString(" ")
+    val snippet = (20 until 28).map(i => s"p$i").mkString(" ")
+    val fixture = Seq(
+      (0L, "en", page), (1L, "en", snippet),
+      (2L, "en", (0 until 30).map(i => s"z$i").mkString(" ")),
+    ).toDF("doc_id", "lang", "text")
+    val staged = Dedup.shingleDocs(fixture)
+
+    val jac = Dedup.ngramJaccard(staged, 100)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)),
+      s"fixture broken: jaccard should miss the subset pair, got $jac")
+
+    val cont = Dedup.containmentPairs(staged, 100).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(cont.contains((0L, 1L)), s"containment must catch the subset pair: $cont")
+    val (nc, na, nb, cab, cba) = cont((0L, 1L))
+    // snippet (doc 1, the b side) is fully contained: n_common == nb
+    assert(nc === nb && cba === 1.0, s"expected full b-side containment: $cont")
+    assert(cab < 0.2, s"a-side containment should stay small: $cab")
+    assert(na > nb)
+    // the unrelated doc pairs with nobody
+    assert(!cont.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
 }
