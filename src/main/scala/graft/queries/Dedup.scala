@@ -327,19 +327,25 @@ object Dedup extends QueryModule {
     * [[shingleDocs]]; cap-parameterized so tests can exercise the
     * hot-shingle guard on a synthetic boilerplate corpus.
     */
-  private[graft] def ngramJaccard(staged: DataFrame, cap: Int): DataFrame =
-    pairCounts(staged, cap)
+  private[graft] def ngramJaccard(staged: DataFrame, cap: Int): DataFrame = {
+    val (pc, kept) = pairCounts(staged, cap)
+    settled(pc
       .withColumn("n_union", col("na") + col("nb") - col("n_common"))
       .where(col("n_common") * 5 >= col("n_union"))
       .select(col("lang"), col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
         round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b"), kept)
+  }
 
   /** Shared candidate machinery of [[ngramJaccard]] and
     * [[ddContainment]]: (lang, doc_a, doc_b, n_common, na, nb) for
-    * every posting-overlapping pair under the hot-shingle cap.
+    * every posting-overlapping pair under the hot-shingle cap, plus
+    * the still-persisted postings frame — each CALLER settles its own
+    * final projection against it (so exactly one cached frame, the
+    * caller's result, survives — DedupHygieneSpec's contract).
     */
-  private[graft] def pairCounts(staged: DataFrame, cap: Int): DataFrame = {
+  private[graft] def pairCounts(staged: DataFrame, cap: Int)
+      : (DataFrame, DataFrame) = {
     // persist: feeds the size table and BOTH candidate self-join branches
     // — without it the shingle pipeline + cap re-runs three times.
     // Materialized EAGERLY (count) before the fan-out: the self-join's two
@@ -365,10 +371,9 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).cast("int").as("n_common"))
-    settled(
-      common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b"),
+    (common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b"),
       kept)
   }
 
@@ -390,14 +395,16 @@ object Dedup extends QueryModule {
       PostingCap)
 
   /** Core of [[ddContainment]], cap-parameterized like [[ngramJaccard]]. */
-  private[graft] def containmentPairs(staged: DataFrame, cap: Int): DataFrame =
-    pairCounts(staged, cap)
+  private[graft] def containmentPairs(staged: DataFrame, cap: Int): DataFrame = {
+    val (pc, kept) = pairCounts(staged, cap)
+    settled(pc
       .where(col("n_common") * 5 >= least(col("na"), col("nb")) * 4)
       .select(col("lang"), col("doc_a"), col("doc_b"),
         col("n_common"), col("na"), col("nb"),
         round(col("n_common").cast("double") / col("na"), 6).as("c_ab"),
         round(col("n_common").cast("double") / col("nb"), 6).as("c_ba"))
-      .orderBy("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b"), kept)
+  }
 
   /** Capped postings index: explode each doc's distinct shingles, count
     * postings per (lang, shingle), keep only those within the cap, and
