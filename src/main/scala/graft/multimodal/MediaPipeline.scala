@@ -157,6 +157,62 @@ object MediaPipeline {
     b.array() // pixel rows stay zeroed — header-only decode ignores them
   }
 
+  /** [[encodeBmp]] with DETERMINISTIC PATTERNED pixels — (r, g, b) at
+    * file position (x, y) are fixed mod-251 linear forms of the
+    * coordinates — so pixel-DATA reads (not just header fields) can go
+    * under the oracle: any whole-image statistic that is
+    * orientation-invariant (sum, min, max over channel values) has a
+    * closed replay over the coordinate grid, BMP bottom-up row order
+    * notwithstanding.
+    */
+  def encodeBmpPattern(width: Int, height: Int): Array[Byte] = {
+    val header = encodeBmp(width, height)
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val off = 54 + y * rowBytes + x * 3
+        header(off) = ((x * 5 + y * 17) % 251).toByte // blue
+        header(off + 1) = ((x * 11 + y * 3) % 251).toByte // green
+        header(off + 2) = ((x * 7 + y * 13) % 251).toByte // red
+        x += 1
+      }
+      y += 1
+    }
+    header
+  }
+
+  /** FULL-decode pixel statistics: `ImageIO.read` (whole raster, not
+    * the header probe), then sum/min/max over every channel value.
+    * Orientation-invariant, so the BMP's bottom-up storage cannot
+    * affect the result.
+    */
+  def pixelStats(bytes: Array[Byte]): Option[(Int, Int, Long, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            sum += r + g + b
+            mn = math.min(mn, math.min(r, math.min(g, b)))
+            mx = math.max(mx, math.max(r, math.max(g, b)))
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, sum, mn, mx))
+      }
+    } catch { case _: Exception => None }
+
   /** Minimal animated GIF via the JDK's sequence writer — the
     * multi-frame analog of [[encodeBmp]]. Frame pixels are solid fills
     * (deterministic), but GIF's LZW coding makes the byte size

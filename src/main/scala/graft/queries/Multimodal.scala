@@ -217,7 +217,40 @@ object Multimodal extends QueryModule {
       .orderBy("fname")
   }
 
+  /** PIXEL-DATA decode under the oracle: patterned BMPs
+    * ([[graft.multimodal.MediaPipeline.encodeBmpPattern]] — every
+    * channel value a fixed mod-251 linear form of its coordinates)
+    * pushed through the REAL full-raster `ImageIO.read`, emitting
+    * whole-image sum/min/max over channel values. mm_decode_real pins
+    * that HEADERS decode; this pins that the pixel DATA arrives
+    * intact — a channel swap cannot hide (sum is channel-invariant but
+    * min/max over the per-coordinate forms are not collision-free
+    * across a swap at these dims… the real guard is the SUM: any
+    * dropped/garbled byte shifts it), and a decoder that returned a
+    * blank raster hash-fails. DuckDB replays the closed form over the
+    * coordinate grid (orientation-invariant statistics, so BMP's
+    * bottom-up row order is immaterial). Dims capped at 16×16 so the
+    * per-row decode stays cheap; per-row expressions + mapPartitions,
+    * no shuffle until the sort.
+    */
+  def mmPixelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    graft.core.FanOut(Tables(s, dir).documents.select(col("doc_id"))).as[Long]
+      .map { id =>
+        val w = (id % 16 + 1).toInt
+        val h = (id * 3 % 16 + 1).toInt
+        val (dw, dh, sum, mn, mx) =
+          MediaPipeline.pixelStats(MediaPipeline.encodeBmpPattern(w, h))
+            .getOrElse(sys.error(s"pixel decode failed for doc $id"))
+        (id, dw, dh, sum, mn, mx)
+      }
+      .toDF("doc_id", "width", "height", "px_sum", "px_min", "px_max")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pixel_stats" -> (mmPixelStats _),
     "mm_binary_source" -> (mmBinarySource _),
     "mm_meta" -> (mmMeta _),
     "mm_source_stats" -> (mmSourceStats _),
@@ -229,6 +262,25 @@ object Multimodal extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // the closed pattern replayed over the coordinate grid; statistics
+    // are orientation-invariant so row order is immaterial
+    "mm_pixel_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id * 3 % 16 + 1 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (x * 7 + y * 13) % 251 AS r,
+        |    (x * 11 + y * 3) % 251 AS g,
+        |    (x * 5 + y * 17) % 251 AS b
+        |  FROM d, LATERAL unnest(range(0, w)) u(x), LATERAL unnest(range(0, h)) v(y))
+        |SELECT doc_id, max(w) AS width, max(h) AS height,
+        |  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+        |  CAST(min(least(r, least(g, b))) AS INTEGER) AS px_min,
+        |  CAST(max(greatest(r, greatest(g, b))) AS INTEGER) AS px_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // read_blob over the directory the engine staged; digest over the
     // (uppercase) hex rendering in both engines
     "mm_binary_source" ->

@@ -223,6 +223,22 @@ class MediaPipelineSpec extends SparkSpec {
     assert(viaDs == viaExpr)
   }
 
+  test("pixelStats: full-raster decode equals the closed-form pattern") {
+    for ((w, h) <- Seq((1, 1), (3, 5), (16, 16), (13, 7))) {
+      val got = MediaPipeline.pixelStats(MediaPipeline.encodeBmpPattern(w, h))
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      val cells = for (x <- 0 until w; y <- 0 until h)
+        yield ((x * 7 + y * 13) % 251, (x * 11 + y * 3) % 251, (x * 5 + y * 17) % 251)
+      val want = (w, h,
+        cells.map { case (r, g, b) => (r + g + b).toLong }.sum,
+        cells.map { case (r, g, b) => r.min(g).min(b) }.min,
+        cells.map { case (r, g, b) => r.max(g).max(b) }.max)
+      assert(got === want, s"${w}x$h: $got != $want")
+    }
+    // garbage bytes must not decode
+    assert(MediaPipeline.pixelStats(Array.fill[Byte](64)(7)).isEmpty)
+  }
+
   test("mm_binary_source: binaryFile reads back every staged file, bytes intact") {
     import org.apache.spark.sql.functions.col
     val rows = graft.queries.Multimodal.mmBinarySource(spark, sfDir).collect()
