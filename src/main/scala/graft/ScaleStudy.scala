@@ -26,8 +26,19 @@ import org.apache.spark.sql.SparkSession
   * at, with Bench's timing discipline (warm-up pass, N timed passes,
   * caches cleared between passes, min reported).
   *
-  * Usage: runMain graft.ScaleStudy <sfDir> [passes] [embed_lsh|semdedup|ivfpq|rowops|r7ops]
+  * Usage: runMain graft.ScaleStudy <sfDir> [passes]
+  *   [embed_lsh|semdedup|semdedup_sampled|ivfpq|ivfpq_sampled|recall|rowops|r7ops|r7ops2]
   * Prints one JSON line; never run concurrently with Bench.
+  *
+  * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
+  * training capped at [[graft.queries.Similarity.TrainSamplePerCell]]·k
+  * deterministic-coin samples — the corpus-scale training
+  * configuration; contrast their decade ratios with the full-training
+  * twins to see the n·k training term drop out. `recall` measures
+  * QUALITY instead of time: recall@3 vs the exact brute-force ranking
+  * for the three learned-quantizer search paths at the rule-resolved
+  * (k, probes) and sampled training — the user-facing claim a time
+  * study cannot make.
   */
 object ScaleStudy {
   def main(args: Array[String]): Unit = {
@@ -93,6 +104,68 @@ object ScaleStudy {
 
     val emb = graft.core.FanOut(graft.sources.Tables(spark, sfDir).embeddings)
     val n = emb.count()
+
+    // "recall": quality-across-decades for the ANN rule paths. Each
+    // family runs at its rule-resolved k with sampled training (the
+    // corpus-scale configuration), then its top-3 set is compared per
+    // query against the exact brute-force top-3 under the SAME metric
+    // the family ranks by (cosine for kmeans-IVF, squared L2 for the
+    // ADC paths). recall@3 = |ann ∩ brute| / (3·queries) — computed as
+    // a distributed join + count, no row fetch.
+    if (study == "recall") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val k = graft.queries.Similarity.kmeansCellsForN(n)
+      val cap = graft.queries.Similarity.TrainSamplePerCell * k
+      val vectors = emb.select(col("vec_id"), col("embedding"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.queries.Similarity.dotBuiltin(a, b)
+      // exact top-3 per query under a metric; queries = vec_id < nq
+      def brute(nq: Int, byCosine: Boolean): org.apache.spark.sql.DataFrame = {
+        val q = broadcast(vectors.where(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+        val scored = vectors.select(col("vec_id"), col("embedding").as("ec"))
+          .crossJoin(q).where(col("query_id") =!= col("vec_id"))
+        val metric =
+          if (byCosine) dot(col("eq"), col("ec")) /
+            (sqrt(dot(col("eq"), col("eq"))) * sqrt(dot(col("ec"), col("ec"))))
+          else -(dot(col("eq"), col("eq")) - lit(2.0) * dot(col("eq"), col("ec"))
+            + dot(col("ec"), col("ec")))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("__m").desc, col("vec_id"))
+        scored.withColumn("__m", metric)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select("query_id", "vec_id")
+      }
+      def recallOf(ann: org.apache.spark.sql.DataFrame, nq: Int,
+          byCosine: Boolean): Double = {
+        val hits = ann.select("query_id", "vec_id")
+          .join(brute(nq, byCosine), Seq("query_id", "vec_id")).count()
+        hits.toDouble / (3.0 * nq)
+      }
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val e = vectors.withColumn("norm",
+        sqrt(dot(col("embedding"), col("embedding"))))
+      val rKmeans = recallOf(
+        graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_rc_km_"),
+          k = k, trainCap = Some(cap)), nq = 20, byCosine = true)
+      val rIvfPq = recallOf(
+        graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_pq_c_"),
+          tmp("graft_rc_pq_b_"), coarseK = k, trainCap = Some(cap)),
+        nq = 10, byCosine = false)
+      val rRerank = recallOf(
+        graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_rr_c_"),
+          tmp("graft_rc_rr_b_"), coarseK = k, trainCap = Some(cap),
+          rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
+        nq = 10, byCosine = false)
+      spark.stop()
+      println(s"""{"metric":"ann_recall","n":$n,"k":$k,"train_cap":$cap,""" +
+        s""""probes":${graft.queries.IvfPq.Probes},""" +
+        s""""kmeans_ivf":$rKmeans,"ivfpq":$rIvfPq,"ivfpq_rerank":$rRerank,""" +
+        s""""sf":"$sfDir"}""")
+      return
+    }
     // resolve the rule once, report it in the record
     val (metric, config, run): (String, String, () => Unit) = study match {
       case "embed_lsh" =>
@@ -101,23 +174,36 @@ object ScaleStudy {
         ("dd_embed_lsh_rule", s""""rows_per_band":$r,"bands":$bands""",
           () => graft.queries.Dedup.embedLshPairs(emb, r, bands)
             .write.format("noop").mode("overwrite").save())
-      case "semdedup" =>
+      case "semdedup" | "semdedup_sampled" =>
         val k = graft.queries.Similarity.kmeansCellsForN(n)
         val iters = graft.queries.Dedup.SemdedupIters
-        ("dd_semdedup_rule", s""""k":$k,"iters":$iters""",
+        val cap =
+          if (study == "semdedup_sampled")
+            Some(graft.queries.Similarity.TrainSamplePerCell * k)
+          else None
+        val metric =
+          if (cap.isDefined) "dd_semdedup_sampled_rule" else "dd_semdedup_rule"
+        (metric, s""""k":$k,"iters":$iters,"train_cap":${cap.getOrElse(0)}""",
           () => {
             // fresh centroid sink per pass — training is INSIDE the
             // measured query, exactly like the oracled dd_semdedup
             val dir = java.nio.file.Files
               .createTempDirectory("graft_semdedup_study_").toString
             graft.queries.Dedup.semdedup(
-                emb.select("vec_id", "embedding"), dir, k, iters)
+                emb.select("vec_id", "embedding"), dir, k, iters, cap)
               .write.format("noop").mode("overwrite").save()
           })
-      case "ivfpq" =>
+      case "ivfpq" | "ivfpq_sampled" =>
         val k = graft.queries.Similarity.kmeansCellsForN(n)
         val probes = graft.queries.IvfPq.Probes
-        ("sim_ivfpq_rule", s""""coarse_k":$k,"probes":$probes""",
+        val cap =
+          if (study == "ivfpq_sampled")
+            Some(graft.queries.Similarity.TrainSamplePerCell * k)
+          else None
+        val metric =
+          if (cap.isDefined) "sim_ivfpq_sampled_rule" else "sim_ivfpq_rule"
+        (metric,
+          s""""coarse_k":$k,"probes":$probes,"train_cap":${cap.getOrElse(0)}""",
           () => {
             // fresh model sinks per pass — BOTH trainings are INSIDE
             // the measured query, exactly like the oracled sim_ivfpq
@@ -126,11 +212,13 @@ object ScaleStudy {
             val bd = java.nio.file.Files
               .createTempDirectory("graft_ivfpq_study_cb_").toString
             graft.queries.IvfPq.ivfPqCore(
-                emb.select("vec_id", "embedding"), cd, bd, coarseK = k)
+                emb.select("vec_id", "embedding"), cd, bd, coarseK = k,
+                trainCap = cap)
               .write.format("noop").mode("overwrite").save()
           })
       case other =>
-        sys.error(s"unknown study '$other' (embed_lsh|semdedup|ivfpq|rowops|r7ops)")
+        sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
+          "ivfpq|ivfpq_sampled|recall|rowops|r7ops|r7ops2)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -616,6 +616,12 @@ object Dedup extends QueryModule {
   private[graft] lazy val SemdedupCentroidDir = java.nio.file.Files
     .createTempDirectory("graft_semdedup_centroids_").toString
 
+  /** Model sink for [[ddSemdedupSampled]] — same persistence contract
+    * as [[SemdedupCentroidDir]].
+    */
+  private[graft] lazy val SemdedupSampledCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_semdedup_s_centroids_").toString
+
   /** Core of [[ddSemdedup]], parameterized on the vector set, the
     * centroid sink (so SemdedupSpec can run it on a crafted fixture
     * against its own scratch dir), and the CELL COUNT k: the
@@ -628,12 +634,21 @@ object Dedup extends QueryModule {
     * path at larger n.
     */
   private[graft] def semdedup(vectors: DataFrame, centroidDir: String,
-      k: Int = SemdedupK, iters: Int = SemdedupIters): DataFrame = {
+      k: Int = SemdedupK, iters: Int = SemdedupIters,
+      trainCap: Option[Int] = None): DataFrame = {
     require(k > 0 && iters > 0, s"need positive k/iters, got k=$k iters=$iters")
     val e = vectors
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    KmeansIvf.train(e.select(col("vec_id"), col("embedding")), k, iters)
+    // training set: everything, or the trainCap smallest deterministic
+    // sample coins (TakeOrdered — no full sort); see
+    // [[Similarity.TrainSamplePerCell]] for the corpus-scale rationale
+    val trainVecs = trainCap match {
+      case Some(cap) => e.select(col("vec_id"), col("embedding"))
+        .orderBy(Similarity.kmeansSampleCoin, col("vec_id")).limit(cap)
+      case None => e.select(col("vec_id"), col("embedding"))
+    }
+    KmeansIvf.train(trainVecs, k, iters, seedSmallest = trainCap.isDefined)
       .write.mode("overwrite").parquet(centroidDir)
     // read BACK so assignment provably uses the persisted table the
     // oracle will read — not a diverging in-memory lineage
@@ -690,6 +705,22 @@ object Dedup extends QueryModule {
   def ddSemdedup(s: SparkSession, dir: String): DataFrame =
     semdedup(graft.core.FanOut(Tables(s, dir).embeddings)
       .select(col("vec_id"), col("embedding")), SemdedupCentroidDir)
+
+  /** SemDeDup with cluster training on a fixed deterministic sample
+    * ([[Similarity.TrainSamplePerCell]]·k smallest coins) — the
+    * corpus-scale training path: Lloyd touches 8k² distance pairs per
+    * iteration instead of n·k, while cell ASSIGNMENT and the
+    * within-cell dedup still cover every vector. Downstream of
+    * training the query is [[ddSemdedup]] verbatim, and the oracle
+    * replays the identical SQL against the sampled centroid table —
+    * out-of-sample training leakage cannot hash-match
+    * (SemdedupSampledSpec re-trains from an independently-computed
+    * sample and pins bit-equality with the persisted table).
+    */
+  def ddSemdedupSampled(s: SparkSession, dir: String): DataFrame =
+    semdedup(graft.core.FanOut(Tables(s, dir).embeddings)
+      .select(col("vec_id"), col("embedding")), SemdedupSampledCentroidDir,
+      trainCap = Some(Similarity.TrainSamplePerCell * SemdedupK))
 
   /** Window width (tokens) for [[ddDupSpans]] — spans shorter than this
     * are treated as chance collisions; same role as the 50-token
@@ -1366,6 +1397,7 @@ object Dedup extends QueryModule {
     "dd_embed_near" -> (ddEmbedNear _),
     "dd_embed_lsh" -> (ddEmbedLsh _),
     "dd_semdedup" -> (ddSemdedup _),
+    "dd_semdedup_sampled" -> (ddSemdedupSampled _),
     "dd_dup_spans" -> (ddDupSpans _),
     "dd_dup_span_extents" -> (ddDupSpanExtents _),
     "dd_span_cut" -> (ddSpanCut _),
@@ -1415,6 +1447,40 @@ object Dedup extends QueryModule {
   private def embDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** The SemDeDup replay, parameterized on the centroid table — shared
+    * by the full- and sampled-training twins. Replays the FULL pipeline
+    * over the centroids the engine trained and persisted: argmin-cell
+    * assignment (identical ‖v‖²−2v·c+‖c‖² double arithmetic, lowest-cid
+    * ties — same replay as sim_kmeans_ivf), within-cell rounded-cosine
+    * pairs, and the lower-id-neighbor drop set (see ddSemdedup).
+    */
+  private def semdedupOracleSqlFor(centDir: String): String =
+    s"""WITH cent AS (
+       |  SELECT cid, centroid
+       |  FROM read_parquet('$centDir/*.parquet')),
+       |d AS (
+       |  SELECT e.vec_id, e.embedding, cent.cid,
+       |    ${embDotSql("embedding", "embedding")}
+       |      - 2.0 * ${embDotSql("embedding", "centroid")}
+       |      + ${embDotSql("centroid", "centroid")} AS d2
+       |  FROM embeddings e CROSS JOIN cent),
+       |rk AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+       |  FROM d),
+       |asg AS (SELECT cid AS cell, vec_id, embedding FROM rk WHERE crank = 1),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${embDotSql("a.embedding", "b.embedding")}
+       |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
+       |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= $SemdedupThreshold)
+       |SELECT asg.vec_id, asg.cell, (dropped.vec_id IS NULL) AS kept
+       |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
 
   private val minhashSelect = (0 until NumHashes).map { k =>
     val m = k / 4
@@ -1801,32 +1867,10 @@ object Dedup extends QueryModule {
     // sim_kmeans_ivf), within-cell rounded-cosine pairs, and the drop
     // set (drop every vector with a lower-id similar same-cell
     // neighbor, dropped or not — see ddSemdedup's Scaladoc).
-    "dd_semdedup" ->
-      s"""WITH cent AS (
-         |  SELECT cid, centroid
-         |  FROM read_parquet('$SemdedupCentroidDir/*.parquet')),
-         |d AS (
-         |  SELECT e.vec_id, e.embedding, cent.cid,
-         |    ${embDotSql("embedding", "embedding")}
-         |      - 2.0 * ${embDotSql("embedding", "centroid")}
-         |      + ${embDotSql("centroid", "centroid")} AS d2
-         |  FROM embeddings e CROSS JOIN cent),
-         |rk AS (
-         |  SELECT vec_id, embedding, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
-         |  FROM d),
-         |asg AS (SELECT cid AS cell, vec_id, embedding FROM rk WHERE crank = 1),
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    round(${embDotSql("a.embedding", "b.embedding")}
-         |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
-         |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
-         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-         |dropped AS (
-         |  SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= $SemdedupThreshold)
-         |SELECT asg.vec_id, asg.cell, (dropped.vec_id IS NULL) AS kept
-         |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
-         |ORDER BY asg.vec_id""".stripMargin,
+    "dd_semdedup" -> semdedupOracleSqlFor(SemdedupCentroidDir),
+    // Shared verbatim with the full-training twin: past training, the
+    // two queries ARE the same query against different model tables.
+    "dd_semdedup_sampled" -> semdedupOracleSqlFor(SemdedupSampledCentroidDir),
     // k-token windows via range(1, len-(k-2)) -> i = 1..len-k+1, each
     // md5'd; a window is duplicated when its gram occurs in >=2
     // DISTINCT docs (the d CTE collapses within-doc repeats first)

@@ -321,10 +321,12 @@ object IvfPq {
     * then the exact d2 over raw embeddings re-orders it — a wrong
     * shortlist member, a rank produced by the approximate instead of
     * the exact distance, or a drifted exact fold all hash-fail.
+    * Composes [[oracleCtesFor]] (the shared CTE chain ending at
+    * `ranked`) with its own extension CTEs — no string surgery on the
+    * assembled base SQL.
     */
   private[graft] def rerankOracleSql: String = {
-    val base = oracleSqlFor(RerankCentroidDir, RerankCodebookDir)
-    val prefix = base.substring(0, base.lastIndexOf("SELECT query_id,"))
+    val prefix = oracleCtesFor(RerankCentroidDir, RerankCodebookDir)
     s"""${prefix},
        |shortlist AS (
        |  SELECT query_id, vec_id, cell FROM ranked WHERE rank <= $RerankDepth),
@@ -345,7 +347,19 @@ object IvfPq {
        |FROM reranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The full replay for the ADC-ranked variants: shared CTE chain plus
+    * the top-3 projection off `ranked`.
+    */
   private def oracleSqlFor(centDir: String, cbDir: String): String =
+    s"""${oracleCtesFor(centDir, cbDir)}
+       |SELECT query_id, rank, vec_id, cell, round(adc, 6) AS adc
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** The shared CTE chain (assignment → residuals → codes → probed-cell
+    * ADC → `ranked`), WITHOUT a final SELECT — callers append their own
+    * projection or extend with further CTEs ([[rerankOracleSql]]).
+    */
+  private def oracleCtesFor(centDir: String, cbDir: String): String =
     s"""WITH cent AS (
        |  SELECT cid, centroid
        |  FROM read_parquet('$centDir/*.parquet')),
@@ -413,7 +427,5 @@ object IvfPq {
        |  SELECT query_id, vec_id, cell, adc,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc, vec_id) AS INTEGER) AS rank
-       |  FROM adc)
-       |SELECT query_id, rank, vec_id, cell, round(adc, 6) AS adc
-       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |  FROM adc)""".stripMargin
 }

@@ -200,6 +200,13 @@ object Multimodal extends QueryModule {
   def mmBinarySource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.MediaPipeline
+    // The executors write through java.nio straight into a driver-created
+    // temp dir, which is only a shared filesystem in local mode; on a real
+    // cluster this fixture would need a DFS stage path (Hadoop FS API).
+    // Fail loudly rather than let a multi-node run read a partial listing.
+    require(s.sparkContext.isLocal,
+      "mm_binary_source stages files via the driver-local filesystem; " +
+        "on a cluster, route the stage path through a shared DFS instead")
     val stage = BinarySourceDir
     Tables(s, dir).documents.select(col("doc_id"))
       .where(col("doc_id") < 200).as[Long]

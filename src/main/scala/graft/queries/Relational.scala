@@ -1167,8 +1167,21 @@ object Relational extends QueryModule {
     * ops, one 16-group aggregate. Nothing else.
     */
   def q54Zorder(s: SparkSession, dir: String): DataFrame = {
+    // In-plan guard for the documented [[ZBits]] precondition: a key
+    // ≥ 2^16 would silently alias z-values IDENTICALLY in both engines
+    // (the oracle shares the interleave text, so the gate cannot catch
+    // it) — fail the row instead of producing an aliased manifest. A
+    // per-row integer compare, branch never taken at gate scale; at
+    // corpus scale the inputs are dense ranks and the guard is the
+    // contract that the ranking step actually ran.
+    val bound = 1L << ZBits
+    def guarded(c: Column): Column =
+      when(c >= 0 && c < bound, c).otherwise(raise_error(concat(
+        lit(s"z-order key out of ${ZBits}-bit range (dense-rank first): "),
+        c.cast("string"))).cast("long"))
     val li = Tables(s, dir).lineitem
-      .select(col("l_partkey"), col("l_suppkey"))
+      .select(guarded(col("l_partkey")).as("l_partkey"),
+        guarded(col("l_suppkey")).as("l_suppkey"))
       .withColumn("z", expr(zExprSql("l_partkey", "l_suppkey")).cast("long"))
       .withColumn("zbucket", shiftright(col("z"), 2 * ZBits - 4).cast("int"))
     li.groupBy("zbucket")

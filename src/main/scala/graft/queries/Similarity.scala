@@ -176,6 +176,33 @@ object Similarity extends QueryModule {
   private[graft] lazy val KmeansCentroidDir = java.nio.file.Files
     .createTempDirectory("graft_kmeans_centroids_").toString
 
+  /** Per-cell training-sample multiplier for the sampled-training twins
+    * ([[simKmeansIvfSampled]], [[Dedup.ddSemdedupSampled]], and the
+    * sampled ScaleStudy rule paths): the sample is 8×k vectors, so one
+    * Lloyd iteration costs 8k² distance evaluations — with the
+    * k ≈ √n rule that is O(n) per iteration instead of the full
+    * corpus's n·k = O(n^1.5). Consistent with [[IvfPq.SampleCap]]
+    * (= 8 × [[KmeansK]] at the gate operating point); 8 vectors per
+    * cell is enough for the mean estimates at every k the rule
+    * produces (KmeansIvfSpec's recall floor holds on the sampled
+    * model).
+    */
+  private[graft] val TrainSamplePerCell = 8
+
+  /** Deterministic training coin for the sampled k-means paths — same
+    * stateless-md5 discipline as [[IvfPq.sampleCoin]]: rerun- and
+    * partition-independent, and the smallest-coin cut plans as a
+    * TakeOrdered, never a full sort.
+    */
+  private[graft] def kmeansSampleCoin: Column =
+    md5(concat(lit("graft-kmeans-sample|"), col("vec_id").cast("string")))
+
+  /** Model sink for [[simKmeansIvfSampled]] — same persistence contract
+    * as [[KmeansCentroidDir]].
+    */
+  private[graft] lazy val SampledKmeansCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_kmeans_s_centroids_").toString
+
   /** k-means IVF under the driver oracle. Training (distributed
     * deterministic Lloyd, [[KmeansIvf.train]]) is not static-SQL-
     * replayable — but the ASSIGNMENT and SEARCH are: the trained
@@ -189,16 +216,49 @@ object Similarity extends QueryModule {
     * deployment shape anyway: train once on a sample, broadcast-join
     * the k-row table against the full corpus for assignment.
     */
-  def simKmeansIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir)
+  def simKmeansIvf(s: SparkSession, dir: String): DataFrame =
+    kmeansIvfCore(normed(s, dir), KmeansCentroidDir)
+
+  /** k-means IVF with training on a fixed deterministic sample
+    * ([[TrainSamplePerCell]]·k smallest [[kmeansSampleCoin]]s) — the
+    * corpus-scale training path: one Lloyd iteration touches 8k²
+    * distance pairs instead of n·k, while ASSIGNMENT and SEARCH still
+    * cover every vector. Downstream of training the query is
+    * [[simKmeansIvf]] verbatim and the oracle replays the identical
+    * SQL against the sampled model table — a model that silently saw
+    * out-of-sample vectors during training cannot hash-match
+    * (KmeansIvfSampledSpec re-trains from an independently-computed
+    * sample and pins bit-equality with the persisted table).
+    */
+  def simKmeansIvfSampled(s: SparkSession, dir: String): DataFrame =
+    kmeansIvfCore(normed(s, dir), SampledKmeansCentroidDir,
+      trainCap = Some(TrainSamplePerCell * KmeansK))
+
+  /** Core of [[simKmeansIvf]], parameterized on the normed vector set,
+    * the centroid sink, the cell count k (the [[kmeansCellsForN]] rule
+    * input — ScaleStudy measures the rule-resolved path), and the
+    * optional training-sample cap.
+    */
+  private[graft] def kmeansIvfCore(e: DataFrame, centDir: String,
+      k: Int = KmeansK, iters: Int = KmeansIters, probes: Int = KmeansProbes,
+      trainCap: Option[Int] = None): DataFrame = {
+    require(k > 0 && iters > 0 && probes > 0,
+      s"need positive k/iters/probes, got $k/$iters/$probes")
+    val s = e.sparkSession
     val vectors = e.select(col("vec_id"), col("embedding"))
-    KmeansIvf.train(vectors, KmeansK, KmeansIters)
-      .write.mode("overwrite").parquet(KmeansCentroidDir)
+    // training set: everything, or the trainCap smallest sample coins
+    // (TakeOrdered — no full sort; vec_id tiebreak for determinism)
+    val trainVecs = trainCap match {
+      case Some(cap) => vectors.orderBy(kmeansSampleCoin, col("vec_id")).limit(cap)
+      case None => vectors
+    }
+    KmeansIvf.train(trainVecs, k, iters, seedSmallest = trainCap.isDefined)
+      .write.mode("overwrite").parquet(centDir)
     // read BACK so assignment provably uses the persisted table the
     // oracle will read — not a diverging in-memory lineage
-    val trained = s.read.parquet(KmeansCentroidDir)
+    val trained = s.read.parquet(centDir)
     val q = KmeansIvf.probeCells(
-        vectors.where(col("vec_id") < 20), trained, KmeansProbes)
+        vectors.where(col("vec_id") < 20), trained, probes)
       .join(e.select(col("vec_id"),
         col("embedding").as("eq"), col("norm").as("nq")), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("query_id"), col("eq"), col("nq"))
@@ -303,6 +363,7 @@ object Similarity extends QueryModule {
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_ivf_bucket" -> (simIvfBucket _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
+    "sim_kmeans_ivf_sampled" -> (simKmeansIvfSampled _),
     "sim_int8_topk" -> (simInt8Topk _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (IvfPq.simIvfPq _),
@@ -322,6 +383,39 @@ object Similarity extends QueryModule {
 
   private val cellSql = (e: String) => (1 to BucketDims).map(i =>
     s"CASE WHEN $e[$i] >= 0 THEN '+' ELSE '-' END").mkString(" || ")
+
+  /** The k-means-IVF replay, parameterized on the model table — shared
+    * by the full- and sampled-training twins (see the `oracles` notes).
+    */
+  private def kmeansOracleSqlFor(centDir: String): String =
+    s"""WITH cent AS (
+       |  SELECT cid, centroid
+       |  FROM read_parquet('$centDir/*.parquet')),
+       |d AS (
+       |  SELECT e.vec_id, e.embedding, cent.cid,
+       |    ${dotSql("embedding", "embedding")}
+       |      - 2.0 * ${dotSql("embedding", "centroid")}
+       |      + ${dotSql("centroid", "centroid")} AS d2
+       |  FROM embeddings e CROSS JOIN cent),
+       |rk AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+       |  FROM d),
+       |q AS (
+       |  SELECT cid AS cell, vec_id AS query_id, embedding AS eq
+       |  FROM rk WHERE crank <= $KmeansProbes AND vec_id < 20),
+       |c AS (SELECT cid AS cell, vec_id, embedding AS ec FROM rk WHERE crank = 1),
+       |scored AS (
+       |  SELECT query_id, c.cell AS cell, vec_id,
+       |    $cosineSql AS cos_exact
+       |  FROM q JOIN c ON q.cell = c.cell WHERE query_id <> vec_id),
+       |ranked AS (
+       |  SELECT query_id, cell, vec_id, cos_exact,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cell, round(cos_exact, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -367,35 +461,10 @@ object Similarity extends QueryModule {
     // probe budget, same exact-cosine rerank. Training itself is the
     // declared non-SQL step; everything downstream of the persisted
     // table is gated here.
-    "sim_kmeans_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT cid, centroid
-         |  FROM read_parquet('$KmeansCentroidDir/*.parquet')),
-         |d AS (
-         |  SELECT e.vec_id, e.embedding, cent.cid,
-         |    ${dotSql("embedding", "embedding")}
-         |      - 2.0 * ${dotSql("embedding", "centroid")}
-         |      + ${dotSql("centroid", "centroid")} AS d2
-         |  FROM embeddings e CROSS JOIN cent),
-         |rk AS (
-         |  SELECT vec_id, embedding, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
-         |  FROM d),
-         |q AS (
-         |  SELECT cid AS cell, vec_id AS query_id, embedding AS eq
-         |  FROM rk WHERE crank <= $KmeansProbes AND vec_id < 20),
-         |c AS (SELECT cid AS cell, vec_id, embedding AS ec FROM rk WHERE crank = 1),
-         |scored AS (
-         |  SELECT query_id, c.cell AS cell, vec_id,
-         |    $cosineSql AS cos_exact
-         |  FROM q JOIN c ON q.cell = c.cell WHERE query_id <> vec_id),
-         |ranked AS (
-         |  SELECT query_id, cell, vec_id, cos_exact,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, vec_id, cell, round(cos_exact, 6) AS cosine
-         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "sim_kmeans_ivf" -> kmeansOracleSqlFor(KmeansCentroidDir),
+    // Shared verbatim with the full-training twin: past training, the
+    // two queries ARE the same query against different model tables.
+    "sim_kmeans_ivf_sampled" -> kmeansOracleSqlFor(SampledKmeansCentroidDir),
     // Replays PQ end to end over the codebooks the engine TRAINED and
     // persisted: same subvector slicing, same argmin code assignment
     // (nv2 - 2·dot + nc2 left folds, lowest-cid ties), same per-query
