@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|ivfpq|ivfpq_sampled|recall|rowops|r7ops|r7ops2]
+  *   [embed_lsh|semdedup|semdedup_sampled|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -73,13 +73,21 @@ object ScaleStudy {
     // is linear in n under the diverse upscale because duplication
     // stays per-replica) and ta_dsir (one bigram fan-out + two B-row
     // models + broadcast scoring — claimed scan-speed).
-    if (study == "rowops" || study == "r7ops" || study == "r7ops2") {
+    // "lenctl": the length-controlled re-run of the three queries whose
+    // first-decade ratios under the PREFIX upscale ran hot (7.4x/7.2x
+    // winnow family, hll) — point it at a tools/upscale_diverse.py
+    // "perm" corpus (replica-permuted alphabet, byte lengths UNCHANGED)
+    // to separate md5-input-growth from genuine n-scaling.
+    if (study == "rowops" || study == "r7ops" || study == "r7ops2" ||
+        study == "lenctl") {
       val names = study match {
         case "rowops" =>
           Seq("ta_winnow", "ta_heavy_hitters", "ta_hll_distinct", "ta_chunk")
         case "r7ops" =>
           Seq("dd_winnow_pairs", "dd_span_cut", "ta_bloom", "ta_bpe_train",
             "sim_ivfpq_rerank")
+        case "lenctl" =>
+          Seq("ta_winnow", "dd_winnow_pairs", "ta_hll_distinct")
         case _ => Seq("dd_pagerank", "ta_dsir")
       }
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
@@ -99,6 +107,36 @@ object ScaleStudy {
       spark.stop()
       println(s"""{"metric":"$study","n":$nDocs,""" +
         results.mkString("", ",", ",") + s""""sf":"$sfDir"}""")
+      return
+    }
+
+    // "bpe_merges": sequential vs batched BPE training at a
+    // production-shaped merge budget (256). The sequential trainer is
+    // one Spark round per merge — a fixed per-round floor that no
+    // cluster size removes; the batched trainer merges up to
+    // BpeMaxBatch provably-commuting pairs per round (bit-identical
+    // rule list, BpeBatchedSpec + the shared ta_bpe_train oracle).
+    // Reports wall time for both plus the batched round count.
+    if (study == "bpe_merges") {
+      import org.apache.spark.sql.functions.max
+      val docs = graft.core.FanOut(
+        graft.sources.Tables(spark, sfDir).documents)
+      val nDocs = docs.count()
+      val merges = 256
+      val t0 = System.nanoTime()
+      val (seqRules, _) = graft.queries.Bpe.trainState(docs, merges)
+      val nSeq = seqRules.count()
+      val seqSec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      val (batRules, _) = graft.queries.Bpe.trainStateBatched(docs, merges)
+      val nBat = batRules.count()
+      val batSec = (System.nanoTime() - t1) / 1e9
+      val rounds = batRules.agg(max("round")).head().getInt(0)
+      spark.stop()
+      println(s"""{"metric":"bpe_merges","n":$nDocs,"merges":$merges,""" +
+        s""""seq_merges":$nSeq,"seq_sec":$seqSec,"bat_merges":$nBat,""" +
+        s""""bat_sec":$batSec,"bat_rounds":$rounds,"sf":"$sfDir"}""")
       return
     }
 
@@ -218,7 +256,7 @@ object ScaleStudy {
           })
       case other =>
         sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
-          "ivfpq|ivfpq_sampled|recall|rowops|r7ops|r7ops2)")
+          "ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

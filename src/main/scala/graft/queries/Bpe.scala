@@ -141,6 +141,151 @@ object Bpe {
     (rules, wf)
   }
 
+  /** Max merges per batched round ([[trainStateBatched]]) and the
+    * ranked-window width the batch is selected from. The window is the
+    * only collected state (one bounded array per round — constant,
+    * like every other collect_list group in the repo).
+    */
+  private[graft] val BpeMaxBatch = 64
+  private[graft] val BpeBatchWindow = 256
+
+  def taBpeTrainBatched(s: SparkSession, dir: String): DataFrame =
+    bpeTrainBatched(graft.core.FanOut(graft.sources.Tables(s, dir).documents),
+      BpeMerges)
+
+  /** Batched twin of [[bpeTrain]] — same rule list, fewer Spark rounds
+    * (gated with the SAME oracle SQL as ta_bpe_train: the outputs are
+    * provably identical, so the 4-unrolled-round sequential replay
+    * hash-checks the batched trainer too).
+    */
+  private[graft] def bpeTrainBatched(d: DataFrame, merges: Int,
+      maxBatch: Int = BpeMaxBatch): DataFrame =
+    trainStateBatched(d, merges, maxBatch)._1
+      .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
+        concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
+      .orderBy("step")
+
+  /** Does pair `a` interfere with pair `b`? True when they share any
+    * symbol among {l, r, l||r} — the merged symbol included, because a
+    * merge that CREATES a symbol another rule consumes (or the same
+    * symbol) does not commute with it.
+    */
+  private def touches(a: Column, b: Column): Column =
+    arrays_overlap(
+      array(a("l"), a("r"), concat(a("l"), a("r"))),
+      array(b("l"), b("r"), concat(b("l"), b("r"))))
+
+  /** Batched BPE training — the fix for the one-Spark-round-per-merge
+    * wall (a production vocab is ~32 k merges; at a fixed ~0.3–0.5 s
+    * per round that is hours of pure job-scheduling overhead however
+    * big the cluster). Per round it merges up to [[BpeMaxBatch]]
+    * MUTUALLY-SAFE top pairs instead of one, chosen so the result is
+    * bit-identical to [[trainState]]'s sequence (BpeBatchedSpec pins
+    * equality on fixtures, fuzz corpora, and the gate corpus; the
+    * driver gate re-proves it against the sequential DuckDB replay):
+    *
+    *   - Walk the pair ranking (cnt DESC, l, r). The candidate prefix
+    *     ends at the first pair that [[touches]] any earlier pair in
+    *     the window — before that point all pairs are pairwise
+    *     disjoint, so their merges commute and none of them changes
+    *     the others' counts.
+    *   - Cut the prefix STRICTLY above the barrier count = the count
+    *     at the first touching pair (or at the window tail, if the
+    *     window filled without a touch — an unseen pair below the
+    *     window could touch). Strictness matters: a merge can CREATE
+    *     pairs with count up to (but never above) a touching pair's
+    *     count, and on a count TIE the created pair could win the
+    *     sequential (l, r) tie-break — so accepted pairs must beat
+    *     every touching pair strictly, never tie it.
+    *   - If nothing survives the cut, merge the head pair alone —
+    *     it is the round's true argmax, so one merge is always safe.
+    *
+    * Each accepted pair's recorded count equals what the sequential
+    * trainer would record (disjoint merges leave each other's counts
+    * unchanged — the same fact that makes the batch exact). Everything
+    * stays in-plan: the ranked window is a TakeOrdered, selection is
+    * one fold over a bounded array in a 1-row frame, and the merge
+    * application is the [[mergePass]] fold iterated over the broadcast
+    * batch.
+    */
+  private[graft] def trainStateBatched(d: DataFrame, merges: Int,
+      maxBatch: Int = BpeMaxBatch): (DataFrame, DataFrame) = {
+    require(merges > 0, s"need a positive merge count, got $merges")
+    require(maxBatch > 0 && maxBatch <= BpeBatchWindow,
+      s"need 0 < maxBatch <= $BpeBatchWindow, got $maxBatch")
+    var wf = wordFreq(d).localCheckpoint(eager = true)
+    var rules: DataFrame = null
+    var done = 0L
+    var round = 0
+    var exhausted = false
+    while (done < merges && !exhausted) {
+      round += 1
+      val room = math.min(maxBatch.toLong, merges - done).toInt
+      // ranked window: TakeOrdered, then ONE bounded array in a 1-row
+      // frame (struct sorts by field order; -cnt first = rank order)
+      val win = pairCounts(wf)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(BpeBatchWindow)
+        .agg(array_sort(collect_list(
+          struct((-col("cnt")).as("nc"), col("l"), col("r"), col("cnt"))))
+          .as("w"))
+      // collect_list over zero rows yields [], so the empty-corpus /
+      // exhausted case flows through as an empty batch
+      val batchDf = win
+        .withColumn("n", size(col("w")))
+        // first index (1-based) whose pair touches an earlier one; the
+        // n > 0 guard keeps sequence/slice off the empty-window row
+        .withColumn("tidx", when(col("n") > 0, array_min(filter(
+          transform(sequence(lit(1), col("n")), i =>
+            when(exists(slice(col("w"), lit(1), (i - 1).cast("int")),
+              pj => touches(element_at(col("w"), i), pj)), i)),
+          x => x.isNotNull))))
+        .withColumn("prefixEnd",
+          coalesce(col("tidx") - 1, col("n")).cast("int"))
+        // barrier: first-touch count, else window-tail count when the
+        // window filled (an unseen pair below it could touch), else -1
+        .withColumn("barrier",
+          when(col("tidx").isNotNull,
+            element_at(col("w"), col("tidx"))("cnt"))
+            .when(col("n") === BpeBatchWindow,
+              element_at(col("w"), col("n"))("cnt"))
+            .otherwise(lit(-1L)))
+        .withColumn("batch", slice(filter(
+          slice(col("w"), lit(1), col("prefixEnd")),
+          p => p("cnt") > col("barrier")), 1, room))
+        .withColumn("batch",
+          when(size(col("batch")) === 0 && col("n") > 0, slice(col("w"), 1, 1))
+            .otherwise(col("batch")))
+        .select(col("batch"))
+        .localCheckpoint(eager = true)
+      val roundRules = batchDf
+        .select(posexplode(col("batch")).as(Seq("i", "p")))
+        .select((col("i") + lit(done + 1)).cast("int").as("step"),
+          col("p")("l").as("l"), col("p")("r").as("r"),
+          col("p")("cnt").as("cnt"),
+          // which batched round produced the rule — dropped by the
+          // gated projection, read by ScaleStudy's bpe_merges study
+          lit(round).as("round"))
+      val nMerged = roundRules.count()
+      if (nMerged == 0) {
+        // every word collapsed to one symbol — nothing left to merge
+        exhausted = true
+      } else {
+        rules = if (rules == null) roundRules else rules.unionByName(roundRules)
+        rules = rules.localCheckpoint(eager = true)
+        // apply the whole batch in ONE pass: fold mergePass over the
+        // broadcast rule array (disjointness makes the order-in-array
+        // application equal the sequential rounds)
+        wf = wf.crossJoin(broadcast(batchDf))
+          .select(col("word"), col("freq"),
+            aggregate(col("batch"), col("syms"),
+              (acc, p) => mergePass(acc, p("l"), p("r"))).as("syms"))
+          .localCheckpoint(eager = true)
+        done += nMerged
+      }
+    }
+    (rules, wf)
+  }
+
   /** Gate config for the vocab histogram: top 100 subwords (the gate
     * corpus has far fewer — the limit is there so the output stays
     * report-sized at any corpus scale, with a total (freq DESC,

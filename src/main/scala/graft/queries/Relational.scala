@@ -258,6 +258,36 @@ object Relational extends QueryModule {
       .orderBy(col("price_cents").desc, col("o_orderkey"))
       .offset(40).limit(20)
 
+  /** The keyset cursor [[q59KeysetPage]] resumes from: the (price, key)
+    * of the last row the previous page returned. Literals, exactly as
+    * a pagination client would send them back.
+    */
+  private[graft] val KeysetLastPrice = 100000.0
+  private[graft] val KeysetLastKey = 0L
+
+  /** KEYSET pagination — the deep-page shape [[q47LimitOffset]]'s
+    * Scaladoc names as the 100 TB replacement for OFFSET: instead of
+    * computing and discarding the skipped prefix, the client sends
+    * back the last row's ordering key and the next page is
+    * `WHERE (price, key) < cursor ORDER BY price DESC, key LIMIT n` —
+    * cost is one pushed-filter scan + a TakeOrdered, independent of
+    * how deep the page is. The row-value comparison is spelled as the
+    * OR-form on the RAW column (price < last OR (price = last AND key >
+    * last_key)) so it pushes to the parquet scan as a plain Or filter
+    * (a predicate on round(price*100) would not) — PlanShapeSpec
+    * asserts both the TakeOrderedAndProject and the pushed filter.
+    * Cents rendering happens after the cut, per the repo float rule.
+    */
+  def q59KeysetPage(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .where(col("o_totalprice") < KeysetLastPrice ||
+        (col("o_totalprice") === KeysetLastPrice &&
+          col("o_orderkey") > KeysetLastKey))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+
   /** MAP-typed column surface — semi-structured props parsed ONCE into
     * a `map<string,bigint>` and then queried with map operators
     * (map_keys, element_at, map_contains_key) instead of re-running
@@ -1132,6 +1162,57 @@ object Relational extends QueryModule {
       .orderBy("col_name")
   }
 
+  /** The profile scan a 100 TB user would ACTUALLY run — [[q53Profile]]
+    * with every exact COUNT(DISTINCT) swapped for
+    * approx_count_distinct, which removes the 6-way Expand fan-out
+    * (the heaviest relational plan at gate scale) in favor of
+    * constant-size mergeable HLL++ partials in the SAME single
+    * aggregate as the other metrics.
+    *
+    * Gate surface: the exact columns (rows / nulls / min / max) hash
+    * against the oracle as in q53; the sketch ESTIMATE itself is
+    * engine-specific so it is NOT hashed — instead `approx_sane` keeps
+    * the sketch in the gated plan (1 ≤ estimate ≤ n_rows, each engine
+    * against its own estimate — Catalyst cannot prune or constant-fold
+    * it) and the tight accuracy bound lives in ApproxAggSpec, which
+    * checks this query's estimates within 3·rsd of the exact q53
+    * distincts and layout-invariant under repartitioning.
+    */
+  def q53ProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val cols: Seq[(String, Column, Column => Column)] = Seq(
+      ("l_orderkey", col("l_orderkey"), c => c.cast("string")),
+      ("l_linenumber", col("l_linenumber"), c => c.cast("string")),
+      ("l_quantity", col("l_quantity"), c => cents(c).cast("string")),
+      ("l_extendedprice", col("l_extendedprice"), c => cents(c).cast("string")),
+      ("l_returnflag", col("l_returnflag"), c => c),
+      ("l_shipdate", col("l_shipdate"),
+        c => date_format(c, "yyyy-MM-dd HH:mm:ss")),
+    )
+    val aggs = cols.flatMap { case (n, c, r) => Seq(
+      count(lit(1)).as(s"${n}__rows"),
+      (count(lit(1)) - count(c)).as(s"${n}__nulls"),
+      approx_count_distinct(c).as(s"${n}__approx"),
+      r(min(c)).as(s"${n}__min"),
+      r(max(c)).as(s"${n}__max"))
+    }
+    val stackArgs = cols.map { case (n, _, _) =>
+      s"'$n', ${n}__rows, ${n}__nulls, ${n}__approx, ${n}__min, ${n}__max"
+    }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_approx, min_repr, max_repr)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        // a sketch may legitimately overshoot the true distinct count
+        // (and therefore n_rows) by its error band — the envelope
+        // allows 20% + slack; exceeding THAT means a broken sketch
+        (col("n_approx") >= least(lit(1L), col("n_rows")) &&
+          col("n_approx") <= col("n_rows") + col("n_rows") / 5 + lit(10L))
+          .as("approx_sane"),
+        col("min_repr"), col("max_repr"))
+      .orderBy("col_name")
+  }
+
   /** Bits per dimension for [[q54Zorder]]'s Morton interleave — 16+16
     * → a 32-bit z-value. Gate keys fit 16 bits raw; at corpus scale
     * the inputs are per-column RANKS (dense_rank or a histogram-bucket
@@ -1242,6 +1323,58 @@ object Relational extends QueryModule {
       .orderBy("action", "status")
   }
 
+  /** MERGE against a BUCKETED target — [[q55MergeUpsert]]'s Scaladoc
+    * claims "at 100 TB the target is bucketed on the key and the join
+    * co-locates"; this query proves it. The orders snapshot is staged
+    * once as a bucketed+sorted table on o_orderkey; the update/delete
+    * change batch derives from THAT table (filter + alias-preserving
+    * projection, so its scan reports the same bucket partitioning),
+    * and the full-outer merge join runs with ZERO Exchange beneath it
+    * (PlanShapeSpec asserts it — the write's one shuffle is amortized
+    * over every downstream merge). Inserts by definition match nothing,
+    * so they bypass the join entirely as an appended audit arm — the
+    * production CDC posture (inserts append; the join only reconciles
+    * existing keys). The audit output is IDENTICAL to q55's, so the
+    * oracle is shared verbatim: bucketing must be result-invisible.
+    */
+  def q60MergeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir("q60_buckets")
+    graft.core.Bucketing.writeBucketed(
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      "q60_orders_b", "o_orderkey", 8, Some(s"$base/orders"))
+    val o = s.table("q60_orders_b")
+    // updates + deletes keep their keys — the change side stays
+    // co-partitioned with the target; delete beats update, as in q55
+    val changes = s.table("q60_orders_b")
+      .withColumn("op",
+        when(col("o_orderkey") % 11 === 3, "D")
+          .when(col("o_orderkey") % 7 === 0, "U"))
+      .where(col("op").isNotNull)
+      .select(col("o_orderkey").as("c_orderkey"), col("op"),
+        (col("o_totalprice") + lit(1.0)).as("c_totalprice"),
+        lit("U").as("c_status"))
+    val merged = o.hint("merge")
+      .join(changes, col("o_orderkey") === col("c_orderkey"), "full_outer")
+      .withColumn("action",
+        when(col("op") === "D", "delete")
+          .when(col("op") === "U", "update")
+          .otherwise("keep"))
+      .withColumn("status",
+        when(col("action") === "update", col("c_status"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("price",
+        when(col("action") === "update", col("c_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .groupBy("action", "status")
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("price"))).as("cents"))
+    val inserts = s.table("q60_orders_b")
+      .where(col("o_orderkey") % 13 === 0)
+      .groupBy(lit("insert").as("action"), lit("N").as("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(cents(lit(1.23))).as("cents"))
+    merged.unionByName(inserts).orderBy("action", "status")
+  }
+
   /** Target compacted-file size for [[q57CompactionPlan]] — small so
     * the sf0.01 fixture produces multiple groups per partition; a
     * production run passes its table's target (128–1024 MB).
@@ -1341,6 +1474,9 @@ object Relational extends QueryModule {
     "q55_merge_upsert" -> (q55MergeUpsert _),
     "q52_scd2" -> (q52Scd2 _),
     "q53_profile" -> (q53Profile _),
+    "q53_profile_approx" -> (q53ProfileApprox _),
+    "q59_keyset_page" -> (q59KeysetPage _),
+    "q60_merge_bucketed" -> (q60MergeBucketed _),
     "q30_bucketed_join" -> (q30BucketedJoin _),
     "q29_range_join" -> (q29RangeJoin _),
     "q28_asof_join" -> (q28AsofJoin _),
@@ -1393,6 +1529,37 @@ object Relational extends QueryModule {
     "q16_sessionize" -> (q16Sessionize _),
     "q17_topk_global" -> (q17TopKGlobal _),
   )
+
+  /** The MERGE audit replay — shared verbatim by [[q55MergeUpsert]]
+    * and [[q60MergeBucketed]]: the physical layout of the target
+    * (plain vs bucketed) must be invisible in the audit manifest.
+    */
+  private val mergeAuditOracle: String =
+    """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS c_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 3 THEN 'D'
+        |         WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
+        |    o_totalprice + 1.0 AS c_totalprice, 'U' AS c_status
+        |  FROM o WHERE o_orderkey % 11 = 3 OR o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 AS c_orderkey, 'I' AS op,
+        |    1.23 AS c_totalprice, 'N' AS c_status
+        |  FROM o WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT CASE WHEN op = 'D' THEN 'delete'
+        |              WHEN op = 'U' THEN 'update'
+        |              WHEN op = 'I' THEN 'insert'
+        |              ELSE 'keep' END AS action,
+        |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_orderstatus
+        |         ELSE c_status END AS status,
+        |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_totalprice
+        |         ELSE c_totalprice END AS price
+        |  FROM o FULL OUTER JOIN changes ON o.o_orderkey = changes.c_orderkey)
+        |SELECT action, status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM merged GROUP BY action, status ORDER BY action, status""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the identical lag→running-sum→rollup→lead chain; IS DISTINCT FROM
@@ -1478,32 +1645,11 @@ object Relational extends QueryModule {
     // delete-beats-update precedence in the same CASE order as the
     // engine; insert keys re-keyed above the key space; manifest =
     // per-(action, resulting status) counts + result-side cents
-    "q55_merge_upsert" ->
-      """WITH o AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey AS c_orderkey,
-        |    CASE WHEN o_orderkey % 11 = 3 THEN 'D'
-        |         WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
-        |    o_totalprice + 1.0 AS c_totalprice, 'U' AS c_status
-        |  FROM o WHERE o_orderkey % 11 = 3 OR o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 1000000000 AS c_orderkey, 'I' AS op,
-        |    1.23 AS c_totalprice, 'N' AS c_status
-        |  FROM o WHERE o_orderkey % 13 = 0),
-        |merged AS (
-        |  SELECT CASE WHEN op = 'D' THEN 'delete'
-        |              WHEN op = 'U' THEN 'update'
-        |              WHEN op = 'I' THEN 'insert'
-        |              ELSE 'keep' END AS action,
-        |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_orderstatus
-        |         ELSE c_status END AS status,
-        |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_totalprice
-        |         ELSE c_totalprice END AS price
-        |  FROM o FULL OUTER JOIN changes ON o.o_orderkey = changes.c_orderkey)
-        |SELECT action, status, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM merged GROUP BY action, status ORDER BY action, status""".stripMargin,
+    "q55_merge_upsert" -> mergeAuditOracle,
+    // bucketing must be result-invisible: the bucketed MERGE replays
+    // the IDENTICAL audit manifest
+    "q60_merge_bucketed" -> mergeAuditOracle,
+
     // covers the first-row NULL the Spark side spells with isNull
     "q52_scd2" ->
       """WITH o AS (
@@ -1558,6 +1704,44 @@ object Relational extends QueryModule {
         "CAST(n_distinct AS BIGINT) AS n_distinct, min_repr, max_repr FROM (\n",
         "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+    // exact columns replayed as in q53; DuckDB's approx_count_distinct
+    // sanity-envelopes against ITS OWN counts, mirroring the Spark side
+    // (the tight cross-engine accuracy bound lives in ApproxAggSpec)
+    "q53_profile_approx" -> {
+      val arms = Seq(
+        ("l_orderkey", "CAST(min(l_orderkey) AS VARCHAR)",
+          "CAST(max(l_orderkey) AS VARCHAR)"),
+        ("l_linenumber", "CAST(min(l_linenumber) AS VARCHAR)",
+          "CAST(max(l_linenumber) AS VARCHAR)"),
+        ("l_quantity", "CAST(CAST(round(min(l_quantity) * 100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(round(max(l_quantity) * 100) AS BIGINT) AS VARCHAR)"),
+        ("l_extendedprice", "CAST(CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS VARCHAR)"),
+        ("l_returnflag", "min(l_returnflag)", "max(l_returnflag)"),
+        ("l_shipdate", "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')"),
+      ).map { case (n, mn, mx) =>
+        s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($n) AS n_nulls,
+           |  (approx_count_distinct($n) BETWEEN least(1, count(*))
+           |     AND count(*) + count(*) // 5 + 10) AS approx_sane,
+           |  $mn AS min_repr, $mx AS max_repr
+           |FROM lineitem""".stripMargin
+      }
+      arms.mkString("SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(n_nulls AS BIGINT) AS n_nulls, " +
+        "approx_sane, min_repr, max_repr FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+    // the keyset cursor predicate replayed verbatim on the raw price
+    "q59_keyset_page" ->
+      s"""SELECT o_orderkey, o_custkey,
+         | CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         |FROM orders
+         |WHERE o_totalprice < $KeysetLastPrice
+         |   OR (o_totalprice = $KeysetLastPrice AND o_orderkey > $KeysetLastKey)
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 20""".stripMargin,
     // the PLAIN join — the bucketed layout must be result-invisible
     "q30_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -608,6 +608,115 @@ object StreamingQueries extends QueryModule {
     s.read.parquet(out).orderBy("user_id", "n_total")
   }
 
+  /** TTL for [[stTwsTtl]]'s ValueState and the wall-clock the fixture
+    * sleeps past it. Margins are wide on both sides: phases 0–1
+    * process back-to-back (seconds apart ≪ 15 s, so state provably
+    * SURVIVES between live batches), while phase 2 is admitted only
+    * after a 23 s sleep (≥ 8 s past every entry's expiration, so state
+    * provably EXPIRES before it).
+    */
+  private[graft] val TwsTtlMs = 15000L
+  private[graft] val TwsTtlSleepMs = 23000L
+
+  /** Progress JSON of the most recent [[stTwsTtl]] run (same contract
+    * as [[lastTwsProgress]]).
+    */
+  @volatile private[graft] var lastTtlProgress: Seq[String] = Nil
+
+  /** [[stTwsCount]] with a FINITE state TTL — the retention bound that
+    * makes transformWithState deployable on an unbounded keyspace (at
+    * 100 TB/day the keyspace never stops growing; TTL is what keeps
+    * RocksDB state sized to the retention window instead of to
+    * history). Same three-phase per-user lifetime counters, but phases
+    * 0–1 stream back-to-back while phase 2 is admitted only after the
+    * fixture sleeps past [[TwsTtlMs]]: every key's state has expired,
+    * so phase-2 rows must RESTART from zero (n_total = n_batch) — an
+    * engine that retained expired state emits cumulative totals there
+    * and hash-fails; one that expired too eagerly breaks the phase-0→1
+    * telescoping. The oracle replays exactly that: cumulative sums for
+    * phases 0–1, standalone sums for phase 2 (the re-admission
+    * counting discipline of st_dedup). TTL is processing-time-based,
+    * which is why the determinism comes from fixture STRUCTURE (sleep
+    * ≫ TTL ≫ batch gap), not from timestamps in the data.
+    */
+  def stTwsTtl(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .transform(graft.sources.Tables.normalizeEventTs)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val phases = (0 until 3).map(p =>
+      ev.where(col("event_id") % 3 === p).select(col("user_id"), col("cents")))
+    // stage all phases (mtime-ordered) in a holding dir, then admit
+    // them into the live source dir around the TTL sleep
+    val hold = stagePhases(s, "st_tws_ttl_hold", phases)
+    val srcDir = freshDir("st_tws_ttl/src")
+    def admit(i: Int): Unit = {
+      val f = f"phase-$i%02d.parquet"
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(hold, f), java.nio.file.Paths.get(srcDir, f),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    admit(0); admit(1)
+    val chk = freshDir("st_tws_ttl/chk")
+    val out = freshDir("st_tws_ttl/out")
+    // Two runs over ONE checkpoint, each stopped once the sink holds
+    // the run's expected emission count. ProcessingTime mode (which
+    // TTL requires) makes the operator request a batch after every
+    // batch to keep advancing time for expiry, so the query NEVER
+    // reports caught-up — processAllAvailable blocks forever and even
+    // AvailableNow keeps scheduling batches; the only clean boundary
+    // is an explicit stop, and the expected row count is exactly known
+    // (one emission per (user, phase-with-input)). The restart is a
+    // feature, not a workaround: phase 2 resumes FROM THE CHECKPOINT,
+    // so the TTL expiry pinned here is the persisted-state semantics
+    // (expiration timestamps live in the store), not an in-memory
+    // artifact.
+    def emissions(maxPhase: Int): Long = ev
+      .where(col("event_id") % 3 <= maxPhase)
+      .select(col("user_id"), (col("event_id") % 3).as("p"))
+      .distinct().count()
+    def drain(expectRows: Long): Unit = {
+      val counted = s.readStream
+        .schema("user_id BIGINT, cents BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[graft.streaming.TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.TwsCounter(TwsTtlMs),
+          // TTL is processing-time-based by definition, and Spark
+          // enforces the pairing: state TTL requires ProcessingTime
+          TimeMode.ProcessingTime(), OutputMode.Append())
+      val q = counted.toDF().writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+      try {
+        // the sink's _spark_metadata makes the read see exactly the
+        // committed files; emissions are one row per (user, batch)
+        def sunk(): Long =
+          try s.read.parquet(out).count() catch { case _: Throwable => 0L }
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (sunk() < expectRows && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        require(sunk() >= expectRows,
+          s"st_tws_ttl: sink stuck below $expectRows rows")
+        lastTtlProgress = q.recentProgress.toSeq.map(_.json)
+      } finally q.stop()
+    }
+    drain(emissions(1))
+    Thread.sleep(TwsTtlSleepMs)
+    admit(2)
+    drain(emissions(2))
+    // row multiset is what the gate hashes; the sort is for stable
+    // files ((user_id, n_total) can legitimately repeat after a reset)
+    s.read.parquet(out).orderBy("user_id", "n_total", "cents_total")
+  }
+
   /** Event-time sessionization on the transformWithState V2 TIMER
     * surface ([[graft.streaming.TwsSessionizer]]) — the v2 twin of
     * [[stSessionize]]: same single-batch source, same gap, same
@@ -650,6 +759,7 @@ object StreamingQueries extends QueryModule {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tws_count" -> (stTwsCount _),
+    "st_tws_ttl" -> (stTwsTtl _),
     "st_tws_session" -> (stTwsSession _),
     "st_session_window" -> (stSessionWindow _),
     "st_dedup" -> (stDedup _),
@@ -715,6 +825,36 @@ object StreamingQueries extends QueryModule {
         |  CAST(n_total AS BIGINT) AS n_total,
         |  CAST(cents_total AS BIGINT) AS cents_total
         |FROM c ORDER BY user_id, n_total""".stripMargin,
+    // st_tws_count's replay with the TTL boundary applied: phases 0-1
+    // telescope (state alive between back-to-back batches), phase 2
+    // restarts from zero (state expired during the sleep) — retained
+    // expired state OR over-eager expiry both hash-fail
+    "st_tws_ttl" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id % 3 AS phase,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, phase, count(*) AS n_batch, sum(cents) AS cents_batch
+        |  FROM e GROUP BY user_id, phase),
+        |live AS (
+        |  SELECT user_id, phase, n_batch,
+        |    sum(n_batch) OVER w AS n_total,
+        |    sum(cents_batch) OVER w AS cents_total
+        |  FROM p WHERE phase <= 1 WINDOW w AS (
+        |    PARTITION BY user_id ORDER BY phase ROWS UNBOUNDED PRECEDING)),
+        |reset AS (
+        |  SELECT user_id, phase, n_batch, n_batch AS n_total,
+        |    cents_batch AS cents_total
+        |  FROM p WHERE phase = 2),
+        |u AS (
+        |  SELECT user_id, n_batch, n_total, cents_total FROM live
+        |  UNION ALL
+        |  SELECT user_id, n_batch, n_total, cents_total FROM reset)
+        |SELECT user_id, CAST(n_batch AS BIGINT) AS n_batch,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(cents_total AS BIGINT) AS cents_total
+        |FROM u ORDER BY user_id, n_total, cents_total""".stripMargin,
     "st_dedup" -> stDedupOracle,
     "st_dedup_rocksdb" -> stDedupOracle,
     "st_word_count" -> WordCountQueries.oracles("wc_word_count"),

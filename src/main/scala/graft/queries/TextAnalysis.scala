@@ -872,6 +872,7 @@ object TextAnalysis extends QueryModule {
     "ta_classify" -> (taClassify _),
     "ta_classify_weighted" -> (taClassifyWeighted _),
     "ta_bpe_train" -> (Bpe.taBpeTrain _),
+    "ta_bpe_train_batched" -> (Bpe.taBpeTrainBatched _),
     "ta_bpe_vocab" -> (Bpe.taBpeVocab _),
     "ta_bpe_encode" -> (Bpe.taBpeEncode _),
     "ta_pii_redact" -> (Pii.taPiiRedact _),
@@ -1001,6 +1002,10 @@ object TextAnalysis extends QueryModule {
         |  CASE WHEN margin > 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM m ORDER BY doc_id""".stripMargin,
     "ta_bpe_train" -> Bpe.oracleSql,
+    // the batched trainer is PROVABLY rule-for-rule identical to the
+    // sequential one (see Bpe.trainStateBatched), so the sequential
+    // 4-unrolled-round replay hash-checks it verbatim
+    "ta_bpe_train_batched" -> Bpe.oracleSql,
     "ta_bpe_vocab" -> Bpe.vocabOracleSql,
     "ta_bpe_encode" -> Bpe.encodeOracleSql,
     "ta_pii_redact" -> Pii.oracleSql,

@@ -34,13 +34,19 @@ case class TwsCount(user_id: Long, n_batch: Long, n_total: Long,
   * the gate keeps NONE so the fixture's three batches all hit live
   * state).
   */
-class TwsCounter extends StatefulProcessor[Long, TwsEvent, TwsCount] {
+class TwsCounter(ttlMs: Long = -1L)
+    extends StatefulProcessor[Long, TwsEvent, TwsCount] {
 
   @transient private var totals: ValueState[TwsTotals] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     totals = getHandle.getValueState[TwsTotals]("totals",
-      Encoders.product[TwsTotals], TTLConfig.NONE)
+      Encoders.product[TwsTotals],
+      // finite ttlMs = the bounded-retention deployment
+      // (`st_tws_ttl` pins expired keys restarting from zero);
+      // non-positive = NONE, the lifetime-counter gate (`st_tws_count`)
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
       timerValues: TimerValues): Iterator[TwsCount] = {

@@ -38,6 +38,25 @@ class ApproxAggSpec extends SparkSpec {
       s"sketch merge must be layout-invariant: $est1 / $est7 / $est")
   }
 
+  test("q53_profile_approx: every profiled column's estimate within band of exact") {
+    // the gated row carries only the sanity envelope (engine-specific
+    // sketch values can't hash across engines); THIS is the tight bound
+    // for the approx-profile path a 100 TB user actually runs
+    val out = graft.queries.Relational.q53ProfileApprox(spark, sfDir).collect()
+    assert(out.length === 6)
+    assert(out.forall(_.getBoolean(3)), "approx_sane must hold on every column")
+    val li = graft.sources.Tables(spark, sfDir).lineitem
+    val profiled = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate")
+    for (c <- profiled) {
+      val exact = li.agg(countDistinct(col(c))).head().getLong(0)
+      val est = li.agg(approx_count_distinct(col(c))).head().getLong(0)
+      val relErr = math.abs(est - exact).toDouble / math.max(1L, exact)
+      assert(relErr <= 3 * 0.05,
+        s"$c: estimate $est vs exact $exact rel err $relErr > 0.15")
+    }
+  }
+
   /** NOTE the asymmetry with HLL++: the GK quantile summary's merge is
     * order/layout-SENSITIVE (merging two compressed summaries is not
     * associative-exact), so unlike approx_count_distinct the estimate

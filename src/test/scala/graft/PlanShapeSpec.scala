@@ -78,6 +78,34 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffle may feed the bucketed join:\n$p")
   }
 
+  test("q60_merge_bucketed: FULL-OUTER merge join exchange-free over the bucketed target") {
+    val p = plan("q60_merge_bucketed")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected a full-outer sort-merge join:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scans must read bucketed:\n$p")
+    // subtree below the merge join must be exchange-free: BOTH sides
+    // read the bucketed layout (the change batch derives from it with
+    // alias-preserving projections). The audit aggregate's exchange
+    // sits above the join; the insert arm is union'd above it too —
+    // cut the print at the first post-join aggregate
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    val joinSubtree = below.indexOf("HashAggregate") match {
+      case -1 => below
+      case i  => below.substring(0, i)
+    }
+    assert(!joinSubtree.contains("Exchange"),
+      s"no shuffle may feed the bucketed merge join:\n$p")
+  }
+
+  test("q59_keyset_page: cursor predicate pushed to the scan, page is a TakeOrdered") {
+    val p = plan("q59_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keyset page must plan as per-partition top-k:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("Or(LessThan(o_totalprice"),
+      s"the keyset OR-predicate must reach the parquet scan:\n$p")
+  }
+
   test("ta_lang_id: tokenizer evaluated once per row") {
     // the staged token array must survive optimization — exactly one
     // byte_split node in the physical plan, not one per consumer

@@ -26,9 +26,24 @@ what the caps are for):
 Only documents + embeddings are written (Tables reads lazily; the
 dd_* family touches nothing else).
 
-Usage: python3 tools/upscale_diverse.py [src] [dst] [rep]
+The optional 4th arg picks the document decorrelation:
+
+- mode "prefix" (default): the r<i>_ token prefix above. Grows every
+  token by ~3-4 BYTES, which also grows every md5/shingle input — a
+  confound when attributing a decade ratio to n-scaling vs per-row
+  kernel cost.
+- mode "perm": LENGTH-PRESERVING decorrelation — replica i applies a
+  seeded random permutation of [a-z] (mirrored onto [A-Z], digits
+  rotated by i) via translate(), so every document keeps its exact
+  byte length and token lengths while replica vocabularies are
+  pairwise ~disjoint. This is the control run for the md5-input-length
+  artifact: under "perm" a linear kernel must show ~linear decades.
+
+Usage: python3 tools/upscale_diverse.py [src] [dst] [rep] [prefix|perm]
 """
 import os
+import random
+import string
 import sys
 
 import duckdb
@@ -38,6 +53,8 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfdiv10"
     rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "prefix"
+    assert mode in ("prefix", "perm"), mode
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -47,12 +64,34 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
+    if mode == "perm":
+        # one seeded alphabet permutation per replica (i = 0 stays
+        # identity); case-mirrored, digits rotated — pure ASCII->ASCII,
+        # so byte lengths are untouched
+        lower = string.ascii_lowercase
+        digits = string.digits
+        arms = []
+        for i in range(rep):
+            if i == 0:
+                arms.append("WHEN i = 0 THEN text")
+                continue
+            p = list(lower)
+            random.Random(i).shuffle(p)
+            perm = "".join(p)
+            to = perm + perm.upper() + digits[i % 10:] + digits[:i % 10]
+            frm = lower + lower.upper() + digits
+            arms.append(f"WHEN i = {i} THEN translate(text, '{frm}', '{to}')")
+        text_expr = "CASE " + " ".join(arms) + " END"
+    else:
+        text_expr = (
+            "CASE WHEN i = 0 THEN text"
+            " ELSE regexp_replace(text, '([^ ]+)', 'r' || i || '_\\1', 'g')"
+            " END")
+
     dk = con.sql(f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
     copy(
         f"SELECT doc_id + i * {dk} AS doc_id,"
-        f" CASE WHEN i = 0 THEN text"
-        f"      ELSE regexp_replace(text, '([^ ]+)', 'r' || i || '_\\1', 'g')"
-        f" END AS text,"
+        f" {text_expr} AS text,"
         f" lang, source, n_chars"
         f" FROM '{src}/documents.parquet', range({rep}) t(i)", "documents")
 
