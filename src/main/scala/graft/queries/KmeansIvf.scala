@@ -53,8 +53,42 @@ object KmeansIvf {
       .withColumn("crank", row_number().over(w))
   }
 
-  /** Nearest-centroid cell per vector (ties break to the lowest cid). */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+  /** Nearest-centroid cell per vector (ties break to the lowest cid).
+    *
+    * Formulated as an AGGREGATE argmin — min of the (d2, cid) struct
+    * per vec_id — not a rank-1 window: the cross-joined (vector ×
+    * centroid) rows for one vec_id are contiguous in the scan
+    * partition, so the partial aggregate collapses them map-side and
+    * the exchange carries n ROWS instead of the window form's n·k
+    * (at the cells≈√n rule that is the difference between shuffling
+    * n^1.5 rows and n rows — the dominant assignment cost after
+    * sampled training removed the training term). Result-identical to
+    * [[rankedAssign]]: same d2 doubles, and struct min orders by
+    * (d2, cid) exactly as the window's ORDER BY d2, cid rank 1
+    * (KmeansAssignSpec pins bit-equality; the DuckDB oracles replay
+    * the crossJoin+rank form and keep hash-matching).
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nv2"))
+    val c = broadcast(centroids.select(col("cid"), col("centroid"),
+      dot(col("centroid"), col("centroid")).as("nc2")))
+    v.crossJoin(c)
+      .withColumn("d2",
+        dist2(col("embedding"), col("nv2"), col("centroid"), col("nc2")))
+      .groupBy("vec_id")
+      // first(embedding) is value-deterministic: every row in the
+      // group carries the same vector
+      .agg(min(struct(col("d2"), col("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cell"))
+  }
+
+  /** The window-rank formulation of [[assignCells]] — kept as the
+    * cross-check twin (it is the form the DuckDB oracles replay);
+    * KmeansAssignSpec pins the two bit-equal.
+    */
+  private[graft] def rankedAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     ranked(vectors, centroids).where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
 
