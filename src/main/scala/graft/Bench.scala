@@ -42,16 +42,16 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    names.foreach { n =>
-      try exec(n)
-      catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
-    }
     // Headline vs BASELINE.md: word count over the reference's own corpus
     // (file_chunks_130, ~13 MB, ~2.35 M tokens; reference best = 0.7 s on
-    // 160 cores). Measured HERE — JVM warm from the sweep above, heap not
-    // yet aged by the timed passes (measured tail-position runs picked up
-    // a sustained GC stall that best-of-N could not filter). Warm once,
-    // report best of 5.
+    // 160 cores). Measured FIRST, on a fresh heap, warmed only by its own
+    // untimed run: round 3 moved it out of tail position because an aged
+    // heap's sustained GC stall tainted every sample, and the round-8
+    // surface made even "right after the warm-up sweep" an aged-heap
+    // position (151 warm-up queries incl. streaming fixtures left the
+    // headline 2× over a fresh-session cross-check on identical code).
+    // The wc pipeline is one scan + one exchange — two untimed-plus-five
+    // runs fully JIT it.
     // Directory, not a "*.txt" glob: all 130 chunk files are .txt, and a
     // glob makes DataFrameReader's FileStreamSink-metadata probe stat the
     // glob string itself, logging a benign FileNotFoundException stack
@@ -74,6 +74,10 @@ object Bench {
         System.err.println(s"[bench] corpus wc failed: ${e.getMessage}"); None
       }
     val tokPerSec: Option[Long] = wcBest.map(b => (2297140L / b).toLong)
+    names.foreach { n =>
+      try exec(n)
+      catch { case e: Throwable => System.err.println(s"[bench-warm] $n: ${e.getMessage}") }
+    }
     // Three timed passes, report the per-query MIN. Single runs proved
     // untrustworthy: BENCH_r01 vs r02 showed 2–6× swings on queries whose
     // code had not changed, and the slow cluster moves between runs

@@ -165,6 +165,32 @@ object Bpe {
         concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
       .orderBy("step")
 
+  /** One greedy left-to-right merge pass applying a whole DISJOINT
+    * rule batch in a single fold — the reason batching pays: the
+    * string-state machinery (the expensive part of the pass) runs once
+    * per round instead of once per rule, with only a cheap
+    * O(batch)-element rule probe added per symbol. Equal to applying
+    * the batch's [[mergePass]]es in sequence BECAUSE the batch is
+    * mutually disjoint: at most one rule can match at any position
+    * (distinct left symbols), no rule consumes another's merged
+    * symbol, and no rewrite changes another rule's match sites —
+    * BpeBatchedSpec pins the equality empirically on fixtures, fuzz,
+    * and the gate corpus.
+    */
+  private[graft] def mergePassMulti(syms: Column, batch: Column): Column = {
+    val folded = aggregate(syms, lit(Sep), (acc, x) => {
+      val res = substring_index(acc, Sep, 1)
+      val pend = substring_index(acc, Sep, -1)
+      val hit = exists(batch, p => p("l") === pend && p("r") === x)
+      when(hit, concat(app(res, concat(pend, x)), lit(Sep)))
+        .when(pend === "", concat(res, lit(Sep), x))
+        .otherwise(concat(app(res, pend), lit(Sep), x))
+    })
+    val res = substring_index(folded, Sep, 1)
+    val pend = substring_index(folded, Sep, -1)
+    split(when(pend === "", res).otherwise(app(res, pend)), " ")
+  }
+
   /** Does pair `a` interfere with pair `b`? True when they share any
     * symbol among {l, r, l||r} — the merged symbol included, because a
     * merge that CREATES a symbol another rule consumes (or the same
@@ -272,13 +298,11 @@ object Bpe {
       } else {
         rules = if (rules == null) roundRules else rules.unionByName(roundRules)
         rules = rules.localCheckpoint(eager = true)
-        // apply the whole batch in ONE pass: fold mergePass over the
-        // broadcast rule array (disjointness makes the order-in-array
-        // application equal the sequential rounds)
+        // apply the whole batch in ONE fused pass (disjointness makes
+        // the single multi-rule fold equal the sequential rounds)
         wf = wf.crossJoin(broadcast(batchDf))
           .select(col("word"), col("freq"),
-            aggregate(col("batch"), col("syms"),
-              (acc, p) => mergePass(acc, p("l"), p("r"))).as("syms"))
+            mergePassMulti(col("syms"), col("batch")).as("syms"))
           .localCheckpoint(eager = true)
         done += nMerged
       }
