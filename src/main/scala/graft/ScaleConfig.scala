@@ -41,6 +41,7 @@ object ScaleConfig {
       ivfBits: Int,
       ivfCells: Int,
       kmeansCells: Int,
+      kmeansProbes: Int,
       seqPackShards: Int,
       shuffleShards: Int)
 
@@ -56,6 +57,10 @@ object ScaleConfig {
       ivfBits = bits,
       ivfCells = 1 << bits,
       kmeansCells = Similarity.kmeansCellsForN(n),
+      // the structureless-data probe fallback (constant scanned
+      // fraction); clustered corpora keep the gate's fixed budget —
+      // see kmeansProbesForK's derivation and the round-8 recall study
+      kmeansProbes = Similarity.kmeansProbesForK(Similarity.kmeansCellsForN(n)),
       seqPackShards = TextAnalysis.seqPackShardsForN(n),
       shuffleShards = TextAnalysis.shuffleShardsForN(n))
   }
@@ -74,6 +79,7 @@ object ScaleConfig {
     ivfBits = Similarity.BucketDims,
     ivfCells = 1 << Similarity.BucketDims,
     kmeansCells = Similarity.KmeansK,
+    kmeansProbes = Similarity.KmeansProbes,
     seqPackShards = TextAnalysis.GateSeqPackShards,
     shuffleShards = TextAnalysis.ShuffleShards)
 }

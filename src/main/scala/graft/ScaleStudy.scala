@@ -185,22 +185,39 @@ object ScaleStudy {
         java.nio.file.Files.createTempDirectory(p).toString
       val e = vectors.withColumn("norm",
         sqrt(dot(col("embedding"), col("embedding"))))
-      val rKmeans = recallOf(
-        graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_rc_km_"),
-          k = k, trainCap = Some(cap)), nq = 20, byCosine = true)
-      val rIvfPq = recallOf(
-        graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_pq_c_"),
-          tmp("graft_rc_pq_b_"), coarseK = k, trainCap = Some(cap)),
-        nq = 10, byCosine = false)
-      val rRerank = recallOf(
-        graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_rr_c_"),
-          tmp("graft_rc_rr_b_"), coarseK = k, trainCap = Some(cap),
-          rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
-        nq = 10, byCosine = false)
+      def measure(probes: Int): (Double, Double, Double) = {
+        val rKmeans = recallOf(
+          graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_rc_km_"),
+            k = k, probes = probes, trainCap = Some(cap)),
+          nq = 20, byCosine = true)
+        val rIvfPq = recallOf(
+          graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_pq_c_"),
+            tmp("graft_rc_pq_b_"), coarseK = k, probes = probes,
+            trainCap = Some(cap)),
+          nq = 10, byCosine = false)
+        val rRerank = recallOf(
+          graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_rr_c_"),
+            tmp("graft_rc_rr_b_"), coarseK = k, probes = probes,
+            trainCap = Some(cap),
+            rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
+          nq = 10, byCosine = false)
+        (rKmeans, rIvfPq, rRerank)
+      }
+      // both operating points: the fixed gate probes (cheap; right for
+      // clustered data) and the constant-fraction rule (the
+      // structureless-data fallback — see kmeansProbesForK)
+      val p0 = graft.queries.IvfPq.Probes
+      val (k0, q0, r0) = measure(p0)
+      val pRule = graft.queries.Similarity.kmeansProbesForK(k)
+      val ruleJson = if (pRule != p0) {
+        val (k1, q1, r1) = measure(pRule)
+        s""","probes_rule":$pRule,"kmeans_ivf_rule":$k1,""" +
+          s""""ivfpq_rule":$q1,"ivfpq_rerank_rule":$r1"""
+      } else ""
       spark.stop()
       println(s"""{"metric":"ann_recall","n":$n,"k":$k,"train_cap":$cap,""" +
-        s""""probes":${graft.queries.IvfPq.Probes},""" +
-        s""""kmeans_ivf":$rKmeans,"ivfpq":$rIvfPq,"ivfpq_rerank":$rRerank,""" +
+        s""""probes":$p0,""" +
+        s""""kmeans_ivf":$k0,"ivfpq":$q0,"ivfpq_rerank":$r0$ruleJson,""" +
         s""""sf":"$sfDir"}""")
       return
     }

@@ -152,10 +152,25 @@ object Similarity extends QueryModule {
     math.max(16, Integer.highestOneBit(math.max(sqrtN, 1)))
   }
 
+  /** Probe budget for a k-cell quantizer when the corpus has no
+    * exploitable cluster structure: the round-8 recall study measured
+    * recall@3 tracking the SCANNED FRACTION probes/k on isotropic
+    * synthetic vectors (0.30 → 0.17 as the fixed 3 probes eroded from
+    * 9.4 % to 1.2 % of cells), so holding recall needs probes ∝ k —
+    * this rule pins the fraction at 1/16 of cells, floored at the
+    * oracled gate's 3. On real clustered embeddings the fixed probe
+    * budget is the cheaper right answer (neighbors concentrate in the
+    * query's own cells); this rule is the structureless-data fallback,
+    * and its cost is explicit: candidates per query = n/16 instead of
+    * 3·n/k. The round-8 recall study measures both operating points.
+    */
+  def kmeansProbesForK(k: Int): Int = math.max(KmeansProbes, k / 16)
+
   /** Oracled gate config for [[simKmeansIvf]]. k=16 cells on the test
     * corpus (= [[kmeansCellsForN]] at the gate n); 3 Lloyd iterations is
     * where KmeansIvfSpec's recall curve flattens; 3 probes matches the
-    * probe budget the spec measures against the sign quantizer.
+    * probe budget the spec measures against the sign quantizer (and
+    * equals [[kmeansProbesForK]] at the gate k=16).
     */
   private[graft] val KmeansK = 16
   private[graft] val KmeansIters = 3

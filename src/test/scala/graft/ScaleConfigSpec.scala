@@ -21,6 +21,7 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(gate.ivfBits === rule.ivfBits)
     assert(gate.ivfCells === rule.ivfCells)
     assert(gate.kmeansCells === rule.kmeansCells)
+    assert(gate.kmeansProbes === rule.kmeansProbes)
     assert(gate.seqPackShards === rule.seqPackShards)
     assert(gate.shuffleShards === rule.shuffleShards)
     // SemDeDup shares the learned-quantizer operating point
@@ -38,6 +39,7 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(m.ivfBits === 15 && m.ivfCells === 32768)
     assert(m.embedLshRowsPerBand === 30)
     assert(m.kmeansCells === 16384)
+    assert(m.kmeansProbes === 1024)
     assert(ScaleConfig.forCorpus(1000000L).kmeansCells === 512)
     assert(m.seqPackShards === 15259)
     // shuffle shards: seqPack's target snapped UP to a power of two
