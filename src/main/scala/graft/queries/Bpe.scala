@@ -138,8 +138,21 @@ object Bpe {
         step += 1
       }
     }
-    (rules, wf)
+    // a corpus of single-character words exhausts before the first
+    // merge — callers still get a rules frame, just an empty one
+    (Option(rules).getOrElse(emptySeqRules(wf)), wf)
   }
+
+  /** Zero-row rule frames with the trainers' output schemas, for the
+    * nothing-ever-merged case (every word already one symbol).
+    */
+  private def emptySeqRules(wf: DataFrame): DataFrame =
+    pairCounts(wf).withColumn("step", lit(1)).limit(0)
+  private def emptyBatchRules(wf: DataFrame): DataFrame =
+    pairCounts(wf)
+      .select(lit(1).cast("int").as("step"), col("l"), col("r"), col("cnt"),
+        lit(1).as("round"))
+      .limit(0)
 
   /** Max merges per batched round ([[trainStateBatched]]) and the
     * ranked-window width the batch is selected from. The window is the
@@ -307,7 +320,8 @@ object Bpe {
         done += nMerged
       }
     }
-    (rules, wf)
+    // same nothing-ever-merged contract as [[trainState]]
+    (Option(rules).getOrElse(emptyBatchRules(wf)), wf)
   }
 
   /** Gate config for the vocab histogram: top 100 subwords (the gate

@@ -153,17 +153,26 @@ object KmeansIvf {
     *
     * `seedSmallest` handles training sets whose ids are NOT dense from
     * 0 (a deterministic sample): seeds become the k smallest ids
-    * PRESENT (TakeOrdered — no full sort). On a dense id space that is
-    * the identical seed set to the default filter, which is kept for
-    * the oracled full-corpus paths so their plans don't change.
+    * PRESENT (TakeOrdered — no full sort), RE-KEYED densely to cid
+    * 0..k−1 in vec_id order — the sampled ids themselves can exceed
+    * Int range at corpus scale, and a raw `cast("int")` would wrap
+    * silently (negative / colliding cids = lost centroids). The
+    * re-key preserves the ids' relative order, so assignment
+    * tie-breaks (lowest cid wins) resolve to the same seed VECTOR as
+    * the raw labeling. The default path keeps cid = vec_id (< k by
+    * the filter, so the cast is exact) so the oracled full-corpus
+    * plans don't change.
     */
   def train(vectors: DataFrame, k: Int, iters: Int,
       seedSmallest: Boolean = false): DataFrame = {
-    val seedRows =
-      if (seedSmallest) vectors.orderBy(col("vec_id")).limit(k)
-      else vectors.where(col("vec_id") < k)
-    var centroids = seedRows
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    var centroids =
+      if (seedSmallest) {
+        val w = Window.orderBy(col("vec_id"))
+        vectors.orderBy(col("vec_id")).limit(k)
+          .select((row_number().over(w) - 1).as("cid"),
+            col("embedding").as("centroid"))
+      } else vectors.where(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
     (1 to iters).foreach { _ =>
       val updated = reestimate(
         assignCells(vectors, centroids).select(col("cell"), col("embedding")))

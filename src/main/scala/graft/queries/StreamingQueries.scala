@@ -708,7 +708,18 @@ object StreamingQueries extends QueryModule {
         lastTtlProgress = q.recentProgress.toSeq.map(_.json)
       } finally q.stop()
     }
+    // the live-phase gate depends on wall-clock scheduling: phases 0–1
+    // must BOTH process inside one TTL window or state expires mid-run
+    // and the gate fails as an opaque hash mismatch. Time the first
+    // drain (an upper bound on the phase-0→1 batch gap) and fail LOUD
+    // as a setup error if a loaded host ever blows the margin.
+    val liveT0 = System.nanoTime()
     drain(emissions(1))
+    val liveMs = (System.nanoTime() - liveT0) / 1000000L
+    require(liveMs < TwsTtlMs,
+      s"st_tws_ttl setup error: live phases took ${liveMs} ms >= TTL " +
+        s"$TwsTtlMs ms — state may have expired between phases 0 and 1 " +
+        "(host overload, not an engine defect); rerun on an idle box")
     Thread.sleep(TwsTtlSleepMs)
     admit(2)
     drain(emissions(2))

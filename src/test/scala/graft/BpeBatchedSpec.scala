@@ -47,6 +47,20 @@ class BpeBatchedSpec extends SparkSpec {
     seqVsBatched(Seq("a a ab bc c abc"), 4, 64)
   }
 
+  test("single-character corpus: both trainers return EMPTY rules, not null") {
+    import spark.implicits._
+    // every word is one symbol — no pair ever exists, the first round
+    // exhausts immediately; both trainers must hand back a usable
+    // zero-row frame (the old code returned null and downstream NPE'd)
+    val d = Seq("a b c", "x y z a").toDF("text")
+    val seq = Bpe.bpeTrain(d, 4)
+    val bat = Bpe.bpeTrainBatched(d, 4, 64)
+    assert(seq.count() === 0L)
+    assert(bat.count() === 0L)
+    assert(seq.columns.toSeq === Seq("step", "lhs", "rhs", "merged", "pair_count"))
+    assert(bat.columns.toSeq === Seq("step", "lhs", "rhs", "merged", "pair_count"))
+  }
+
   test("gate corpus: deep merge budget, rule lists and symbol tables equal") {
     val d = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     val merges = 32

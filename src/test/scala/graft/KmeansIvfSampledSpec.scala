@@ -48,4 +48,19 @@ class KmeansIvfSampledSpec extends SparkSpec {
     }
     assert(out.map(_._1).distinct.sorted.toSeq === (0L until 20L))
   }
+
+  test("seedSmallest re-keys seeds densely — vec_id past Int range keeps k centroids") {
+    import spark.implicits._
+    // ids straddling 2^31: a raw cast("int") would wrap them negative
+    // and collide, silently losing centroids. The dense re-key must
+    // yield exactly k distinct cids 0..k-1, ordered like the ids.
+    val base = (1L << 31) - 2
+    val vecs = (0L until 8L)
+      .map(i => (base + i * 3, Array.fill(4)((i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = KmeansIvf.train(vecs, k = 4, iters = 1, seedSmallest = true)
+      .select("cid").as[Int].collect().sorted.toSeq
+    assert(model === Seq(0, 1, 2, 3),
+      s"expected dense cids 0..3, got $model")
+  }
 }
