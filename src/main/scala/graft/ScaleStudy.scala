@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl]
+  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -229,23 +229,34 @@ object ScaleStudy {
         ("dd_embed_lsh_rule", s""""rows_per_band":$r,"bands":$bands""",
           () => graft.queries.Dedup.embedLshPairs(emb, r, bands)
             .write.format("noop").mode("overwrite").save())
-      case "semdedup" | "semdedup_sampled" =>
+      case "semdedup" | "semdedup_sampled" | "semdedup_capped" =>
         val k = graft.queries.Similarity.kmeansCellsForN(n)
         val iters = graft.queries.Dedup.SemdedupIters
         val cap =
-          if (study == "semdedup_sampled")
+          if (study != "semdedup")
             Some(graft.queries.Similarity.TrainSamplePerCell * k)
           else None
-        val metric =
-          if (cap.isDefined) "dd_semdedup_sampled_rule" else "dd_semdedup_rule"
-        (metric, s""""k":$k,"iters":$iters,"train_cap":${cap.getOrElse(0)}""",
+        // "semdedup_capped": sampled training PLUS the per-cell
+        // population bound — the full corpus-scale configuration (the
+        // pair join costs O(n·cap) in expectation instead of Σ|cell|²)
+        val cellCap =
+          if (study == "semdedup_capped")
+            Some(graft.queries.Dedup.SemdedupCellCap)
+          else None
+        val metric = study match {
+          case "semdedup_capped" => "dd_semdedup_capped_rule"
+          case "semdedup_sampled" => "dd_semdedup_sampled_rule"
+          case _ => "dd_semdedup_rule"
+        }
+        (metric, s""""k":$k,"iters":$iters,"train_cap":${cap.getOrElse(0)},""" +
+          s""""cell_cap":${cellCap.getOrElse(0)}""",
           () => {
             // fresh centroid sink per pass — training is INSIDE the
             // measured query, exactly like the oracled dd_semdedup
             val dir = java.nio.file.Files
               .createTempDirectory("graft_semdedup_study_").toString
             graft.queries.Dedup.semdedup(
-                emb.select("vec_id", "embedding"), dir, k, iters, cap)
+                emb.select("vec_id", "embedding"), dir, k, iters, cap, cellCap)
               .write.format("noop").mode("overwrite").save()
           })
       case "ivfpq" | "ivfpq_sampled" =>
@@ -273,7 +284,8 @@ object ScaleStudy {
           })
       case other =>
         sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
-          "ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl)")
+          "semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|" +
+          "r7ops2|lenctl|streaming)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -622,6 +622,63 @@ object Dedup extends QueryModule {
   private[graft] lazy val SemdedupSampledCentroidDir = java.nio.file.Files
     .createTempDirectory("graft_semdedup_s_centroids_").toString
 
+  /** Model sink for [[ddSemdedupCapped]] — same persistence contract
+    * as [[SemdedupCentroidDir]].
+    */
+  private[graft] lazy val SemdedupCappedCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_semdedup_c_centroids_").toString
+
+  /** Per-cell population bound for [[ddSemdedupCapped]] — the hot-key
+    * cap the within-cell pair join was missing (every OTHER candidate
+    * join here has one: [[PostingCap]], [[BandCap]]). The k ≈ √n rule
+    * bounds the EXPECTED Σ|cell|² at n^1.5, but real embeddings
+    * cluster: one skewed cell makes the pair join quadratic in that
+    * cell's population with no bound at all. A cell over
+    * [[SemdedupCellCap]] members is handled in two sound pieces
+    * instead of one quadratic join:
+    *
+    *   - CORE COLLAPSE: members within [[SemdedupCoreTau]] cosine of
+    *     the cell's own centroid are mutually ≥ [[SemdedupThreshold]]-
+    *     similar BY THE TRIANGLE INEQUALITY on angles (2·arccos(0.822)
+    *     = arccos(0.3514) ≤ arccos(0.35)), so all but the lowest-id
+    *     core member drop with NO pair join at all — O(|cell|) work,
+    *     one dot against the broadcast centroid. Every core drop is a
+    *     TRUE drop under the uncapped semantics (witness: the core
+    *     minimum, same cell, lower id, provably ≥ τ-similar). This is
+    *     exactly the tight-semantic-cluster case that makes real
+    *     cells skew, handled at full recall.
+    *   - BLOCKED REMAINDER: non-core members pair only within md5-coin
+    *     blocks sized so the expected block is ≤ the cap (the coin is
+    *     geometry-independent, so the bound holds REGARDLESS of how
+    *     the remainder clusters — the property a similarity-aware
+    *     splitter cannot give). Cross-block pairs are skipped: the
+    *     explicit, quantified recall trade, same discipline as
+    *     [[PostingCap]]/[[BandCap]] (which drop hot keys outright).
+    *
+    * Every drop the capped path makes carries a same-cell lower-id
+    * τ-similar witness, so dropped(capped) ⊆ dropped(uncapped) against
+    * the same model — SemdedupCappedSpec asserts exactly that
+    * contract, plus the block bound on an engineered skewed cell.
+    * Cap 32 ≈ the gate corpus's mean cell (500/16), so the machinery
+    * is ACTIVE at gate scale and the oracle replays it non-vacuously.
+    */
+  private[graft] val SemdedupCellCap = 32
+
+  /** Core radius for the centroid collapse: cos(arccos(0.35)/2) =
+    * 0.82158…, rounded UP to 0.822 so the pairwise implication keeps
+    * a 1.4e-3 margin over the 1e-6 cosine rounding (soundness needs
+    * τ' ≥ cos(arccos(τ)/2); rounding up only shrinks the core).
+    */
+  private[graft] val SemdedupCoreTau = 0.822
+
+  /** Remainder-block granularity: blocks are md5-hex PREFIXES, so the
+    * block count grows in powers of 16 — `chars` hex characters give
+    * 16^chars blocks, chars picked per cell so |cell|/16^chars ≤ cap.
+    * 4 chars (65 536 blocks) covers cells up to 2 M members at cap 32;
+    * bigger cells degrade gracefully (expected block = |cell|/65 536).
+    */
+  private[graft] val SemdedupMaxBlockChars = 4
+
   /** Core of [[ddSemdedup]], parameterized on the vector set, the
     * centroid sink (so SemdedupSpec can run it on a crafted fixture
     * against its own scratch dir), and the CELL COUNT k: the
@@ -635,7 +692,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def semdedup(vectors: DataFrame, centroidDir: String,
       k: Int = SemdedupK, iters: Int = SemdedupIters,
-      trainCap: Option[Int] = None): DataFrame = {
+      trainCap: Option[Int] = None, cellCap: Option[Int] = None): DataFrame = {
     require(k > 0 && iters > 0, s"need positive k/iters, got k=$k iters=$iters")
     val e = vectors
       .select(col("vec_id"), col("embedding"),
@@ -661,22 +718,71 @@ object Dedup extends QueryModule {
       .join(e.select(col("vec_id"), col("norm")), Seq("vec_id"))
       .persist()
     assigned.count()
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("norm").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("norm").as("nb"))
-    val dropped = a.join(b, Seq("cell"))
+    // pair-join universe and drop set: uncapped = the plain within-cell
+    // join; capped = core collapse + md5-blocked remainder (see
+    // [[SemdedupCellCap]] for the scheme and its soundness argument)
+    val (keyed, extraDrops) = cellCap match {
+      case None => (assigned.withColumn("subcell", lit("")), None)
+      case Some(cap) =>
+        // per-cell populations: ≤ k rows — broadcast back onto the rows
+        val counts = assigned.groupBy("cell").agg(count(lit(1)).as("__cc"))
+        val cents = broadcast(trained.select(col("cid").as("cell"),
+          col("centroid").as("__ce"),
+          sqrt(dot(col("centroid"), col("centroid"))).as("__cn")))
+        // chars = ceil(log16(cc/cap)) as an integer-exact CASE ladder
+        // (a floating log could land either side of a power of 16 and
+        // silently disagree with the oracle's replay)
+        val ladder = (1 to SemdedupMaxBlockChars).foldLeft(
+          when(col("__cc") <= cap, 0)) { (acc, c) =>
+          acc.when(col("__cc") <= cap.toLong * (1L << (4 * c)), c)
+        }.otherwise(SemdedupMaxBlockChars)
+        val lbl = assigned.join(broadcast(counts), Seq("cell"))
+          .join(cents, Seq("cell"))
+          .withColumn("__cosc", round(
+            dot(col("embedding"), col("__ce")) / (col("norm") * col("__cn")), 6))
+          .withColumn("__core",
+            col("__cc") > cap && col("__cosc") >= SemdedupCoreTau)
+          .withColumn("__chars", ladder)
+          .withColumn("subcell", when(col("__core"), lit("core")).otherwise(
+            expr("substr(md5(concat('graft-semdedup-block|', " +
+              "cast(vec_id as string))), 1, __chars)")))
+          .select("vec_id", "cell", "subcell", "embedding", "norm", "__core")
+        // core collapse: all but the lowest-id core member drop — the
+        // O(|cell|) replacement for the quadratic join on the tight
+        // cluster that made the cell oversized in the first place
+        val coreMin = lbl.where(col("__core"))
+          .groupBy("cell").agg(min("vec_id").as("__cmin"))
+        val coreDrops = lbl.where(col("__core"))
+          .join(broadcast(coreMin), Seq("cell"))
+          .where(col("vec_id") > col("__cmin"))
+          .select(col("vec_id"))
+        (lbl, Some(coreDrops))
+    }
+    val pairSide = keyed.where(cellCap match {
+      case None => lit(true)
+      case Some(_) => !col("__core")
+    })
+    val a = pairSide.select(col("cell"), col("subcell"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = pairSide.select(col("cell"), col("subcell"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    val pairDrops = a.join(b, Seq("cell", "subcell"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .where(col("cosine") >= SemdedupThreshold)
-      .select(col("vec_b").as("vec_id")).distinct()
+      .select(col("vec_b").as("vec_id"))
+    val dropped = extraDrops.fold(pairDrops)(pairDrops.unionByName(_))
+      .distinct()
       .withColumn("__dropped", lit(true))
+    val labeled = keyed
+      .select(col("vec_id"), col("cell"), col("subcell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("kept", col("__dropped").isNull)
     settled(
-      assigned.select(col("vec_id"), col("cell"))
-        .join(dropped, Seq("vec_id"), "left")
-        .withColumn("kept", col("__dropped").isNull)
-        .select("vec_id", "cell", "kept")
+      (if (cellCap.isDefined)
+        labeled.select("vec_id", "cell", "subcell", "kept")
+      else labeled.select("vec_id", "cell", "kept"))
         .orderBy("vec_id"),
       assigned)
   }
@@ -721,6 +827,25 @@ object Dedup extends QueryModule {
     semdedup(graft.core.FanOut(Tables(s, dir).embeddings)
       .select(col("vec_id"), col("embedding")), SemdedupSampledCentroidDir,
       trainCap = Some(Similarity.TrainSamplePerCell * SemdedupK))
+
+  /** SemDeDup with the per-cell population cap — the skew-proof
+    * production twin (see [[SemdedupCellCap]] for the scheme: core
+    * collapse for the tight cluster + md5-blocked remainder for the
+    * unconditional bound, every drop provably sound). Sampled
+    * training like [[ddSemdedupSampled]] (the corpus-scale
+    * configuration this variant belongs to); the oracle replays
+    * assignment, the per-cell count → block-width ladder, the
+    * centroid-cosine core test, the lowest-id core collapse, the
+    * md5-prefix blocks, and the blocked keep/drop rule — a pair
+    * compared across blocks, a wrong ladder arm, a drifted core
+    * boundary, or a core member leaking into the pair join all
+    * hash-fail.
+    */
+  def ddSemdedupCapped(s: SparkSession, dir: String): DataFrame =
+    semdedup(graft.core.FanOut(Tables(s, dir).embeddings)
+      .select(col("vec_id"), col("embedding")), SemdedupCappedCentroidDir,
+      trainCap = Some(Similarity.TrainSamplePerCell * SemdedupK),
+      cellCap = Some(SemdedupCellCap))
 
   /** Window width (tokens) for [[ddDupSpans]] — spans shorter than this
     * are treated as chance collisions; same role as the 50-token
@@ -1398,6 +1523,7 @@ object Dedup extends QueryModule {
     "dd_embed_lsh" -> (ddEmbedLsh _),
     "dd_semdedup" -> (ddSemdedup _),
     "dd_semdedup_sampled" -> (ddSemdedupSampled _),
+    "dd_semdedup_capped" -> (ddSemdedupCapped _),
     "dd_dup_spans" -> (ddDupSpans _),
     "dd_dup_span_extents" -> (ddDupSpanExtents _),
     "dd_span_cut" -> (ddSpanCut _),
@@ -1455,32 +1581,87 @@ object Dedup extends QueryModule {
     * ties — same replay as sim_kmeans_ivf), within-cell rounded-cosine
     * pairs, and the lower-id-neighbor drop set (see ddSemdedup).
     */
-  private def semdedupOracleSqlFor(centDir: String): String =
-    s"""WITH cent AS (
-       |  SELECT cid, centroid
-       |  FROM read_parquet('$centDir/*.parquet')),
-       |d AS (
-       |  SELECT e.vec_id, e.embedding, cent.cid,
-       |    ${embDotSql("embedding", "embedding")}
-       |      - 2.0 * ${embDotSql("embedding", "centroid")}
-       |      + ${embDotSql("centroid", "centroid")} AS d2
-       |  FROM embeddings e CROSS JOIN cent),
-       |rk AS (
-       |  SELECT vec_id, embedding, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
-       |  FROM d),
-       |asg AS (SELECT cid AS cell, vec_id, embedding FROM rk WHERE crank = 1),
-       |p AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(${embDotSql("a.embedding", "b.embedding")}
-       |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
-       |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-       |dropped AS (
-       |  SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= $SemdedupThreshold)
-       |SELECT asg.vec_id, asg.cell, (dropped.vec_id IS NULL) AS kept
-       |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
-       |ORDER BY asg.vec_id""".stripMargin
+  private def semdedupOracleSqlFor(centDir: String,
+      cellCap: Option[Int] = None): String = {
+    val sharedHead =
+      s"""WITH cent AS (
+         |  SELECT cid, centroid
+         |  FROM read_parquet('$centDir/*.parquet')),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, cent.cid,
+         |    ${embDotSql("embedding", "embedding")}
+         |      - 2.0 * ${embDotSql("embedding", "centroid")}
+         |      + ${embDotSql("centroid", "centroid")} AS d2
+         |  FROM embeddings e CROSS JOIN cent),
+         |rk AS (
+         |  SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+         |  FROM d),
+         |asg0 AS (SELECT cid AS cell, vec_id, embedding FROM rk WHERE crank = 1)"""
+        .stripMargin
+    cellCap match {
+      case None =>
+        s"""$sharedHead,
+           |p AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    round(${embDotSql("a.embedding", "b.embedding")}
+           |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
+           |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
+           |  FROM asg0 a JOIN asg0 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           |dropped AS (
+           |  SELECT DISTINCT vec_b AS vec_id FROM p WHERE cosine >= $SemdedupThreshold)
+           |SELECT asg0.vec_id, asg0.cell, (dropped.vec_id IS NULL) AS kept
+           |FROM asg0 LEFT JOIN dropped ON asg0.vec_id = dropped.vec_id
+           |ORDER BY asg0.vec_id""".stripMargin
+      case Some(cap) =>
+        // capped twin: replay the per-cell count → block-width ladder,
+        // the centroid-cosine core test, the lowest-id core collapse,
+        // and the md5-prefix-blocked pair rule — the same integer- and
+        // rounding-exact arithmetic the Spark side runs
+        val ladder = (1 to SemdedupMaxBlockChars)
+          .map(c => s"WHEN cc <= ${cap.toLong * (1L << (4 * c))} THEN $c")
+          .mkString(s"CASE WHEN cc <= $cap THEN 0 ", " ",
+            s" ELSE $SemdedupMaxBlockChars END")
+        s"""$sharedHead,
+           |cnt AS (SELECT cell, count(*) AS cc FROM asg0 GROUP BY cell),
+           |lbl AS (
+           |  SELECT a.cell, a.vec_id, a.embedding, cc,
+           |    (cc > $cap AND round(${embDotSql("a.embedding", "cent.centroid")}
+           |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
+           |        * sqrt(${embDotSql("cent.centroid", "cent.centroid")})), 6)
+           |      >= $SemdedupCoreTau) AS is_core,
+           |    ($ladder) AS chars
+           |  FROM asg0 a JOIN cnt USING (cell) JOIN cent ON cent.cid = a.cell),
+           |keyed AS (
+           |  SELECT cell, vec_id, embedding, is_core,
+           |    CASE WHEN is_core THEN 'core'
+           |      ELSE substr(md5('graft-semdedup-block|' ||
+           |        CAST(vec_id AS VARCHAR)), 1, chars) END AS subcell
+           |  FROM lbl),
+           |cmin AS (
+           |  SELECT cell, min(vec_id) AS cmin FROM keyed WHERE is_core GROUP BY cell),
+           |cdrop AS (
+           |  SELECT k.vec_id FROM keyed k JOIN cmin USING (cell)
+           |  WHERE k.is_core AND k.vec_id > cmin),
+           |p AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    round(${embDotSql("a.embedding", "b.embedding")}
+           |      / (sqrt(${embDotSql("a.embedding", "a.embedding")})
+           |        * sqrt(${embDotSql("b.embedding", "b.embedding")})), 6) AS cosine
+           |  FROM keyed a JOIN keyed b
+           |    ON a.cell = b.cell AND a.subcell = b.subcell
+           |   AND a.vec_id < b.vec_id
+           |  WHERE NOT a.is_core AND NOT b.is_core),
+           |dropped AS (
+           |  SELECT DISTINCT vec_id FROM (
+           |    SELECT vec_b AS vec_id FROM p WHERE cosine >= $SemdedupThreshold
+           |    UNION ALL SELECT vec_id FROM cdrop))
+           |SELECT keyed.vec_id, keyed.cell, keyed.subcell,
+           |  (dropped.vec_id IS NULL) AS kept
+           |FROM keyed LEFT JOIN dropped ON keyed.vec_id = dropped.vec_id
+           |ORDER BY keyed.vec_id""".stripMargin
+    }
+  }
 
   private val minhashSelect = (0 until NumHashes).map { k =>
     val m = k / 4
@@ -1871,6 +2052,8 @@ object Dedup extends QueryModule {
     // Shared verbatim with the full-training twin: past training, the
     // two queries ARE the same query against different model tables.
     "dd_semdedup_sampled" -> semdedupOracleSqlFor(SemdedupSampledCentroidDir),
+    "dd_semdedup_capped" -> semdedupOracleSqlFor(SemdedupCappedCentroidDir,
+      cellCap = Some(SemdedupCellCap)),
     // k-token windows via range(1, len-(k-2)) -> i = 1..len-k+1, each
     // md5'd; a window is duplicated when its gram occurs in >=2
     // DISTINCT docs (the d CTE collapses within-doc repeats first)
