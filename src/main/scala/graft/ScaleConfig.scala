@@ -42,6 +42,7 @@ object ScaleConfig {
       ivfCells: Int,
       kmeansCells: Int,
       kmeansProbes: Int,
+      pqCodewords: Int,
       seqPackShards: Int,
       shuffleShards: Int)
 
@@ -61,6 +62,10 @@ object ScaleConfig {
       // fraction); clustered corpora keep the gate's fixed budget —
       // see kmeansProbesForK's derivation and the round-8 recall study
       kmeansProbes = Similarity.kmeansProbesForK(Similarity.kmeansCellsForN(n)),
+      // the ADC code budget (codewords per subspace) — fixed codes are
+      // a fixed error band; see Pq.pqKForN's derivation and the
+      // round-9 recall table
+      pqCodewords = graft.queries.Pq.pqKForN(n),
       seqPackShards = TextAnalysis.seqPackShardsForN(n),
       shuffleShards = TextAnalysis.shuffleShardsForN(n))
   }
@@ -80,6 +85,7 @@ object ScaleConfig {
     ivfCells = 1 << Similarity.BucketDims,
     kmeansCells = Similarity.KmeansK,
     kmeansProbes = Similarity.KmeansProbes,
+    pqCodewords = graft.queries.Pq.PqK,
     seqPackShards = TextAnalysis.GateSeqPackShards,
     shuffleShards = TextAnalysis.ShuffleShards)
 }

@@ -185,27 +185,34 @@ object ScaleStudy {
         java.nio.file.Files.createTempDirectory(p).toString
       val e = vectors.withColumn("norm",
         sqrt(dot(col("embedding"), col("embedding"))))
+      def measureAdc(probes: Int, pqK: Int): (Double, Double) = {
+        val rIvfPq = recallOf(
+          graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_pq_c_"),
+            tmp("graft_rc_pq_b_"), coarseK = k, probes = probes,
+            trainCap = Some(cap), pqK = pqK),
+          nq = 10, byCosine = false)
+        val rRerank = recallOf(
+          graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_rr_c_"),
+            tmp("graft_rc_rr_b_"), coarseK = k, probes = probes,
+            trainCap = Some(cap), pqK = pqK,
+            rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
+          nq = 10, byCosine = false)
+        (rIvfPq, rRerank)
+      }
       def measure(probes: Int): (Double, Double, Double) = {
         val rKmeans = recallOf(
           graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_rc_km_"),
             k = k, probes = probes, trainCap = Some(cap)),
           nq = 20, byCosine = true)
-        val rIvfPq = recallOf(
-          graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_pq_c_"),
-            tmp("graft_rc_pq_b_"), coarseK = k, probes = probes,
-            trainCap = Some(cap)),
-          nq = 10, byCosine = false)
-        val rRerank = recallOf(
-          graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_rc_rr_c_"),
-            tmp("graft_rc_rr_b_"), coarseK = k, probes = probes,
-            trainCap = Some(cap),
-            rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
-          nq = 10, byCosine = false)
+        val (rIvfPq, rRerank) = measureAdc(probes, graft.queries.Pq.PqK)
         (rKmeans, rIvfPq, rRerank)
       }
-      // both operating points: the fixed gate probes (cheap; right for
-      // clustered data) and the constant-fraction rule (the
-      // structureless-data fallback — see kmeansProbesForK)
+      // operating points: the fixed gate probes (cheap; right for
+      // clustered data), the constant-fraction probe rule (the
+      // structureless-data fallback — see kmeansProbesForK), and — for
+      // the ADC paths — the probe rule COMBINED with the pqKForN code
+      // budget (the round-9 rule: fixed codes are a fixed error band,
+      // the reason ADC-only flatlined at ×100 in the round-8 study)
       val p0 = graft.queries.IvfPq.Probes
       val (k0, q0, r0) = measure(p0)
       val pRule = graft.queries.Similarity.kmeansProbesForK(k)
@@ -214,10 +221,16 @@ object ScaleStudy {
         s""","probes_rule":$pRule,"kmeans_ivf_rule":$k1,""" +
           s""""ivfpq_rule":$q1,"ivfpq_rerank_rule":$r1"""
       } else ""
+      val kPq = graft.queries.Pq.pqKForN(n)
+      val codeJson = if (kPq != graft.queries.Pq.PqK) {
+        val (q2, r2) = measureAdc(pRule, kPq)
+        s""","pq_k_rule":$kPq,"ivfpq_code_rule":$q2,""" +
+          s""""ivfpq_rerank_code_rule":$r2"""
+      } else ""
       spark.stop()
       println(s"""{"metric":"ann_recall","n":$n,"k":$k,"train_cap":$cap,""" +
         s""""probes":$p0,""" +
-        s""""kmeans_ivf":$k0,"ivfpq":$q0,"ivfpq_rerank":$r0$ruleJson,""" +
+        s""""kmeans_ivf":$k0,"ivfpq":$q0,"ivfpq_rerank":$r0$ruleJson$codeJson,""" +
         s""""sf":"$sfDir"}""")
       return
     }

@@ -199,9 +199,9 @@ object IvfPq {
       centDir: String, cbDir: String,
       coarseK: Int = CoarseK, coarseIters: Int = CoarseIters,
       probes: Int = Probes, trainCap: Option[Int] = None,
-      rerankDepth: Option[Int] = None): DataFrame = {
-    require(coarseK > 0 && coarseIters > 0 && probes > 0,
-      s"need positive k/iters/probes, got $coarseK/$coarseIters/$probes")
+      rerankDepth: Option[Int] = None, pqK: Int = Pq.PqK): DataFrame = {
+    require(coarseK > 0 && coarseIters > 0 && probes > 0 && pqK > 0,
+      s"need positive k/iters/probes/pqK, got $coarseK/$coarseIters/$probes/$pqK")
     val s = vectors.sparkSession
     // training set: everything, or the trainCap smallest sample coins
     // (TakeOrdered — no full sort; vec_id tiebreak for determinism)
@@ -222,7 +222,7 @@ object IvfPq {
       case Some(_) => subvectorsWithCell(assignResiduals(trainVecs, cent))
       case None => subs
     }
-    Pq.train(trainSubs.select(col("vec_id"), col("m"), col("sv")), Pq.PqK,
+    Pq.train(trainSubs.select(col("vec_id"), col("m"), col("sv")), pqK,
         Pq.PqIters, seedSmallest = trainCap.isDefined)
       .write.mode("overwrite").parquet(cbDir)
     val cb = s.read.parquet(cbDir)

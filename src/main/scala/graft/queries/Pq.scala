@@ -52,15 +52,48 @@ object Pq {
     * compression — the same code budget as the canonical M=8/K=256
     * byte-code layout, traded toward finer subspaces because per-
     * subspace distortion falls as K^(−2/d): at K=16, d=4 quantizes
-    * ~4× tighter than d=8, and PqSpec's recall shows it. K and M are
-    * quantization-error knobs, not n-scaling knobs, so no n-adaptive
-    * rule applies. 2 Lloyd iterations — PqSpec's recall curve is flat
-    * by then.)
+    * ~4× tighter than d=8, and PqSpec's recall shows it. 2 Lloyd
+    * iterations — PqSpec's recall curve is flat by then.)
+    *
+    * K is NOT scale-free (the round-8 recall study's lesson): a fixed
+    * code budget is a fixed error band, and as n grows the number of
+    * competitors inside that band around the top-k boundary grows
+    * with it — ADC-only recall flatlined at ×100 on code distortion
+    * while candidate coverage was held fixed. [[pqKForN]] is the
+    * n-adaptive rule; the gate keeps K=16 (= pqKForN at gate n).
     */
   private[graft] val SubspaceCount = 16
   private[graft] val SubspaceDim = 4
   private[graft] val PqK = 16
   private[graft] val PqIters = 2
+
+  /** Codewords per subspace for a corpus of n vectors — the code
+    * budget's analog of [[Similarity.kmeansProbesForK]] (round-8 gave
+    * the PROBE budget its rule; this is the same treatment for the
+    * CODE budget): K follows √n, snapped DOWN to a power of two,
+    * floored at the gate's 16 and capped at 256.
+    *
+    *   - √n, like [[Similarity.kmeansCellsForN]]: per-subspace
+    *     distortion falls as K^(−2/d) = K^(−1/2) at d=4, so K ∝ √n
+    *     shrinks the code error band as n^(−1/4) while the candidate
+    *     count per probed cell (n/k at cells ≈ √n) grows as √n — the
+    *     measured operating points are what justify the exponent, not
+    *     the heuristic (BENCH_NOTES round-9 recall table).
+    *   - power of two: codes stay bit-packable (4/5/6/7/8 bits).
+    *   - cap 256: byte codes, the canonical IVFADC layout (Jégou 2011
+    *     uses K=256 at billion scale); past that the production
+    *     accuracy knob is the RERANK stage, which is in-tree and
+    *     measured (rerank ≥ ADC-only at every decade, both probe
+    *     points). Encode cost grows linearly in K (M·K in-row argmin
+    *     per vector) — explicit, and bounded by the cap.
+    *
+    * pqKForN(500) = 16 = [[PqK]] (the gate pin, ScaleConfigSpec);
+    * 2 000 → 32; 20 000 → 128; 200 000+ → 256.
+    */
+  def pqKForN(n: Long): Int = {
+    val sqrtN = math.sqrt(n.toDouble.max(1.0)).toInt
+    math.min(256, math.max(PqK, Integer.highestOneBit(math.max(sqrtN, 1))))
+  }
 
   /** (vec_id, m, sv): the M subvectors of every vector — one explode,
     * no shuffle; downstream keys carry m so nothing ever mixes
@@ -156,15 +189,24 @@ object Pq {
   def train(subs: DataFrame, k: Int, iters: Int,
       seedSmallest: Boolean = false): DataFrame = {
     // seedSmallest: the k smallest vec_ids PRESENT (for sampled
-    // training sets with non-dense ids — see KmeansIvf.train); each
-    // seed vector carries all M subspaces, so every m gets k seeds
-    val seedRows =
-      if (seedSmallest)
-        subs.join(subs.select("vec_id").distinct().orderBy(col("vec_id")).limit(k),
-          Seq("vec_id"), "left_semi")
-      else subs.where(col("vec_id") < k)
-    var codebook = seedRows
-      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("centroid"))
+    // training sets with non-dense ids — see KmeansIvf.train), RE-KEYED
+    // densely to cid 0..k−1 in vec_id order (same rationale as
+    // KmeansIvf.train: a raw cast("int") wraps ids past 2^31 and loses
+    // codewords); each seed vector carries all M subspaces, so every m
+    // gets the same k seeds. The default path keeps cid = vec_id (< k
+    // by the filter, so the cast is exact).
+    var codebook =
+      if (seedSmallest) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("vec_id"))
+        val seedIds = subs.select("vec_id").distinct()
+          .orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id"), (row_number().over(w) - 1).as("cid"))
+        subs.join(seedIds, Seq("vec_id"))
+          .select(col("m"), col("cid"), col("sv").as("centroid"))
+      } else subs.where(col("vec_id") < k)
+        .select(col("m"), col("vec_id").cast("int").as("cid"),
+          col("sv").as("centroid"))
     (1 to iters).foreach { _ =>
       val assigned = encode(subs, codebook).select(col("m"), col("cid"), col("sv"))
       val updated = reestimate(assigned)

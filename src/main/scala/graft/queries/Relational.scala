@@ -1273,6 +1273,47 @@ object Relational extends QueryModule {
       .orderBy("zbucket")
   }
 
+  /** Z-ORDER over DENSE RANKS — the production mapping [[q54Zorder]]'s
+    * guard and Scaladoc point at, now implemented instead of merely
+    * documented: each key column is ranked over its DISTINCT value
+    * table (dimension-sized — |distinct| rows, NOT the fact table;
+    * the one global window runs there, and at true corpus scale the
+    * rank table becomes range-sampled histogram boundaries, same shape)
+    * and the Morton interleave runs on the 0-based ranks, which are
+    * inside the [[ZBits]] domain BY CONSTRUCTION for any key domain
+    * up to 2^16 distinct values — the rank step is exactly what makes
+    * the q54 guard's branch provably dead. Ranks join back onto the
+    * fact scan on the key (broadcastable at dimension size; key-
+    * partitioned at scale). The manifest reports per-z-bucket spans of
+    * the RAW keys — the file-skipping guarantee is on the columns
+    * users filter by, not on the ranks.
+    */
+  def q54ZorderRank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey"))
+    def ranks(key: String, rk: String): DataFrame = {
+      val w = Window.orderBy(col(key))
+      li.select(col(key)).distinct()
+        .select(col(key), (dense_rank().over(w) - 1).cast("long").as(rk))
+    }
+    val bound = 1L << ZBits
+    def guarded(c: Column): Column =
+      when(c >= 0 && c < bound, c).otherwise(raise_error(concat(
+        lit(s"rank out of ${ZBits}-bit range (histogram-bucket first): "),
+        c.cast("string"))).cast("long"))
+    li.join(broadcast(ranks("l_partkey", "pr")), Seq("l_partkey"))
+      .join(broadcast(ranks("l_suppkey", "sr")), Seq("l_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        guarded(col("pr")).as("pr"), guarded(col("sr")).as("sr"))
+      .withColumn("z", expr(zExprSql("pr", "sr")).cast("long"))
+      .withColumn("zbucket", shiftright(col("z"), 2 * ZBits - 4).cast("int"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("z").as("z_min"), max("z").as("z_max"),
+        min("l_partkey").as("part_min"), max("l_partkey").as("part_max"),
+        min("l_suppkey").as("supp_min"), max("l_suppkey").as("supp_max"))
+      .orderBy("zbucket")
+  }
+
   /** MERGE INTO (upsert + delete) — the lakehouse CDC-apply: a change
     * batch of updates, deletes, and inserts merged against the orders
     * snapshot in ONE full-outer join on the key (both sides hash-
@@ -1375,6 +1416,74 @@ object Relational extends QueryModule {
     merged.unionByName(inserts).orderBy("action", "status")
   }
 
+  /** Key-range bound for [[q61MergeBroadcast]]'s change batch: the
+    * bottom slice of the key domain — the backfill/hot-tenant shape a
+    * real CDC cycle produces (changes concentrate, they don't spread
+    * mod-uniformly like q55's fixture).
+    */
+  private[graft] val MergeHotKeyBound = 2000L
+
+  /** MERGE with a CONCENTRATED (skewed) change batch, applied WITHOUT
+    * touching the target with a key shuffle or a full-outer join — the
+    * small-batch CDC posture q55/q60 deliberately don't cover:
+    *
+    *   - Skew, precisely: the merge key is UNIQUE on both sides, so
+    *     under hash partitioning no single key can make a hot task —
+    *     the real cost of a skewed SMALL batch is elsewhere, in
+    *     full-outer-joining (or re-shuffling) 100 TB of target against
+    *     a batch that touches 0.1 % of keys. Salting is the answer
+    *     when BOTH sides are big (the salted-join machinery
+    *     ScaleUtilsSpec pins); when the hot side is the SMALL side,
+    *     the answer is to broadcast it and never partition the target
+    *     by key at all — broadcast joins are skew-immune by
+    *     construction (every task probes the same whole-batch map).
+    *   - The decomposition: reconcile arm = target INNER
+    *     broadcast-join changes (update/delete rows only — batch-
+    *     sized); passthrough arm = target broadcast LEFT-ANTI changes
+    *     (the keeps — a scan-shaped filter, no partitioning); inserts
+    *     append as in q60. Result-identical to the full-outer
+    *     formulation — the oracle replays THAT form (FULL OUTER over
+    *     the same range-derived batch), so the decomposition's
+    *     equality is hash-checked, not claimed.
+    *
+    * PlanShapeSpec asserts the posture: both arms are
+    * BroadcastHashJoins, zero SortMergeJoin, zero Exchange under
+    * either join (only the final audit aggregate shuffles).
+    */
+  def q61MergeBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // the concentrated batch: every change key in [0, MergeHotKeyBound)
+    val changes = o.where(col("o_orderkey") < MergeHotKeyBound)
+      .select(col("o_orderkey").as("c_orderkey"),
+        when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"),
+        (col("o_totalprice") + lit(1.0)).as("c_totalprice"),
+        lit("U").as("c_status"))
+    val reconciled = o
+      .join(broadcast(changes), col("o_orderkey") === col("c_orderkey"))
+      .withColumn("action",
+        when(col("op") === "D", "delete").otherwise("update"))
+      .withColumn("status",
+        when(col("action") === "update", col("c_status"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("price",
+        when(col("action") === "update", col("c_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .select(col("action"), col("status"), col("price"))
+    val keeps = o
+      .join(broadcast(changes.select(col("c_orderkey"))),
+        col("o_orderkey") === col("c_orderkey"), "left_anti")
+      .select(lit("keep").as("action"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val inserts = o.where(col("o_orderkey") % 13 === 0)
+      .select(lit("insert").as("action"), lit("N").as("status"),
+        lit(1.23).as("price"))
+    reconciled.unionByName(keeps).unionByName(inserts)
+      .groupBy("action", "status")
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("price"))).as("cents"))
+      .orderBy("action", "status")
+  }
+
   /** Target compacted-file size for [[q57CompactionPlan]] — small so
     * the sf0.01 fixture produces multiple groups per partition; a
     * production run passes its table's target (128–1024 MB).
@@ -1405,6 +1514,14 @@ object Relational extends QueryModule {
     * wrong size, or a drifted group boundary hash-fails.
     */
   def q57CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    // The stage path is a driver-created LOCAL temp dir — a shared
+    // filesystem only in local mode (executor writer tasks resolve
+    // file:/tmp per-node on a real cluster and the listing would be
+    // silently partial). Production passes a DFS URI (s3://, hdfs://)
+    // as the stage root; the write/list code is already FS-API-clean.
+    require(s.sparkContext.isLocal,
+      "q57_compaction_plan stages its layout in a driver-local temp " +
+        "dir; on a cluster, point the stage root at a shared DFS path")
     val base = CompactionStageDir
     // repartition(8) deliberately SHATTERS the layout (8 writer tasks
     // x 5 partition values -> ~40 small files) so the plan has real
@@ -1449,6 +1566,10 @@ object Relational extends QueryModule {
     * make that migration safe.)
     */
   def q58SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    // same local-FS staging honesty guard as q57_compaction_plan
+    require(s.sparkContext.isLocal,
+      "q58_schema_evolution stages its two-generation layout in a " +
+        "driver-local temp dir; on a cluster, use a shared DFS path")
     val base = EvolutionStageDir
     val docs = Tables(s, dir).documents
     docs.where(col("doc_id") % 2 === 0)
@@ -1468,6 +1589,8 @@ object Relational extends QueryModule {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_zorder" -> (q54Zorder _),
+    "q54_zorder_rank" -> (q54ZorderRank _),
+    "q61_merge_broadcast" -> (q61MergeBroadcast _),
     "q56_pit_join" -> (q56PitJoin _),
     "q57_compaction_plan" -> (q57CompactionPlan _),
     "q58_schema_evolution" -> (q58SchemaEvolution _),
@@ -1642,6 +1765,30 @@ object Relational extends QueryModule {
          |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,
          |  min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
          |FROM zb GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    // rank-based twin: dense_rank over each key's DISTINCT table,
+    // interleave the 0-based ranks (same shared expression text),
+    // manifest spans on the RAW keys
+    "q54_zorder_rank" ->
+      s"""WITH pk AS (
+         |  SELECT l_partkey, CAST(dense_rank() OVER (ORDER BY l_partkey) - 1
+         |    AS BIGINT) AS pr
+         |  FROM (SELECT DISTINCT l_partkey FROM lineitem)),
+         |sk AS (
+         |  SELECT l_suppkey, CAST(dense_rank() OVER (ORDER BY l_suppkey) - 1
+         |    AS BIGINT) AS sr
+         |  FROM (SELECT DISTINCT l_suppkey FROM lineitem)),
+         |z0 AS (
+         |  SELECT l.l_partkey, l.l_suppkey,
+         |    CAST(${zExprSql("pr", "sr")} AS BIGINT) AS z
+         |  FROM lineitem l
+         |  JOIN pk ON l.l_partkey = pk.l_partkey
+         |  JOIN sk ON l.l_suppkey = sk.l_suppkey),
+         |zb AS (SELECT *, CAST(z >> ${2 * ZBits - 4} AS INTEGER) AS zbucket FROM z0)
+         |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+         |  min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+         |FROM zb GROUP BY zbucket ORDER BY zbucket""".stripMargin,
     // delete-beats-update precedence in the same CASE order as the
     // engine; insert keys re-keyed above the key space; manifest =
     // per-(action, resulting status) counts + result-side cents
@@ -1649,6 +1796,30 @@ object Relational extends QueryModule {
     // bucketing must be result-invisible: the bucketed MERGE replays
     // the IDENTICAL audit manifest
     "q60_merge_bucketed" -> mergeAuditOracle,
+    // the broadcast decomposition must equal the FULL OUTER form over
+    // the same concentrated batch — the oracle replays the latter
+    "q61_merge_broadcast" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |changes AS (
+         |  SELECT o_orderkey AS c_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    o_totalprice + 1.0 AS c_totalprice, 'U' AS c_status
+         |  FROM o WHERE o_orderkey < $MergeHotKeyBound),
+         |merged AS (
+         |  SELECT CASE WHEN op = 'D' THEN 'delete'
+         |              WHEN op = 'U' THEN 'update'
+         |              ELSE 'keep' END AS action,
+         |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_orderstatus
+         |         ELSE c_status END AS status,
+         |    CASE WHEN op IS NULL OR op = 'D' THEN o.o_totalprice
+         |         ELSE c_totalprice END AS price
+         |  FROM o FULL OUTER JOIN changes ON o.o_orderkey = changes.c_orderkey
+         |  UNION ALL
+         |  SELECT 'insert', 'N', 1.23 FROM o WHERE o_orderkey % 13 = 0)
+         |SELECT action, status, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM merged GROUP BY action, status ORDER BY action, status""".stripMargin,
 
     // covers the first-row NULL the Spark side spells with isNull
     "q52_scd2" ->

@@ -98,6 +98,29 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffle may feed the bucketed merge join:\n$p")
   }
 
+  test("q61_merge_broadcast: skew-immune small-batch merge — broadcast arms, no SMJ, no key shuffle") {
+    val p = plan("q61_merge_broadcast")
+    // both arms (inner reconcile + left-anti passthrough) broadcast the
+    // concentrated change batch; the target is never partitioned by key
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected two broadcast joins (reconcile + anti passthrough):\n$p")
+    assert(p.contains("LeftAnti"), s"expected the anti passthrough arm:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the target must not be shuffled by key:\n$p")
+    // the only exchanges are the audit aggregate's (and its broadcasts)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(c_orderkey"),
+      s"no key-partitioned exchange may appear:\n$p")
+  }
+
+  test("q54_zorder_rank: rank tables broadcast back, guard branch dead by construction") {
+    val p = plan("q54_zorder_rank")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both rank tables must broadcast onto the fact scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact side must not shuffle for the rank joins:\n$p")
+  }
+
   test("q59_keyset_page: cursor predicate pushed to the scan, page is a TakeOrdered") {
     val p = plan("q59_keyset_page")
     assert(p.contains("TakeOrderedAndProject"),

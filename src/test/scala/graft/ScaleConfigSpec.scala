@@ -22,6 +22,7 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(gate.ivfCells === rule.ivfCells)
     assert(gate.kmeansCells === rule.kmeansCells)
     assert(gate.kmeansProbes === rule.kmeansProbes)
+    assert(gate.pqCodewords === rule.pqCodewords)
     assert(gate.seqPackShards === rule.seqPackShards)
     assert(gate.shuffleShards === rule.shuffleShards)
     // SemDeDup shares the learned-quantizer operating point
@@ -41,6 +42,13 @@ class ScaleConfigSpec extends AnyFunSuite {
     assert(m.kmeansCells === 16384)
     assert(m.kmeansProbes === 1024)
     assert(ScaleConfig.forCorpus(1000000L).kmeansCells === 512)
+    // ADC code budget: √n snapped to a power of two, floored at the
+    // gate's 16, capped at byte codes (K=256) — the recall-study
+    // decades and the billion-scale cap
+    assert(ScaleConfig.forCorpus(2000L).pqCodewords === 32)
+    assert(ScaleConfig.forCorpus(20000L).pqCodewords === 128)
+    assert(ScaleConfig.forCorpus(200000L).pqCodewords === 256)
+    assert(m.pqCodewords === 256)
     assert(m.seqPackShards === 15259)
     // shuffle shards: seqPack's target snapped UP to a power of two
     // (the shard id is a bit-range of the 32-bit coin)
@@ -53,7 +61,7 @@ class ScaleConfigSpec extends AnyFunSuite {
       rs.map(f).sliding(2).forall(w => w(0) <= w(1))
     assert(mono(_.minhashHashes) && mono(_.embedLshRowsPerBand) &&
       mono(_.ivfBits) && mono(_.kmeansCells) && mono(_.seqPackShards) &&
-      mono(_.shuffleShards))
+      mono(_.shuffleShards) && mono(_.pqCodewords))
   }
 
   test("the gate minhash constants stay internally consistent") {

@@ -39,7 +39,18 @@ The optional 4th arg picks the document decorrelation:
   pairwise ~disjoint. This is the control run for the md5-input-length
   artifact: under "perm" a linear kernel must show ~linear decades.
 
-Usage: python3 tools/upscale_diverse.py [src] [dst] [rep] [prefix|perm]
+- mode "cluster": documents as in "prefix", but embeddings are a
+  seeded mixture of Gaussians instead of replica isometries — the
+  CLUSTERED corpus the rotate/flip modes deliberately avoid (those
+  are the isotropic IVF worst case). 64 unit-norm centers, POWER-LAW
+  cluster sizes (the big head cluster is the skewed-cell stress), and
+  per-vector Gaussian noise at sigma = 0.5 of the center norm
+  (within-cluster cosine ~0.89, cross-cluster ~0 +/- 1/8). This is the
+  regime the fixed-probe ANN budget and the semdedup core collapse
+  are designed for; the recall study runs it as the structured-data
+  counterpoint to the isotropic decades.
+
+Usage: python3 tools/upscale_diverse.py [src] [dst] [rep] [prefix|perm|cluster]
 """
 import os
 import random
@@ -54,7 +65,7 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfdiv10"
     rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "prefix"
-    assert mode in ("prefix", "perm"), mode
+    assert mode in ("prefix", "perm", "cluster"), mode
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -64,6 +75,9 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
+    clustered = mode == "cluster"
+    if clustered:
+        mode = "prefix"  # documents keep the prefix decorrelation
     if mode == "perm":
         # one seeded alphabet permutation per replica (i = 0 stays
         # identity); case-mirrored, digits rotated — pure ASCII->ASCII,
@@ -95,6 +109,13 @@ def main() -> None:
         f" lang, source, n_chars"
         f" FROM '{src}/documents.parquet', range({rep}) t(i)", "documents")
 
+    if clustered:
+        write_cluster_embeddings(con, src, dst, rep)
+        n = con.sql(
+            f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
+        print(f"embeddings: {n} rows (mixture-of-Gaussians)")
+        return
+
     vk = con.sql(f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
     copy(
         f"SELECT vec_id + i * {vk} AS vec_id,"
@@ -104,6 +125,37 @@ def main() -> None:
         f" ) AS embedding,"
         f" label"
         f" FROM '{src}/embeddings.parquet', range({rep}) t(i)", "embeddings")
+
+
+def write_cluster_embeddings(con, src: str, dst: str, rep: int) -> None:
+    """Seeded mixture of Gaussians: 64 unit centers, power-law cluster
+    sizes (head cluster ~21 % of the corpus = the skewed-cell stress),
+    per-vector noise sigma = 0.5, unit-normalized float32 output —
+    same (vec_id BIGINT, embedding FLOAT[], label INT) schema, n =
+    rep x the source corpus.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_n = con.sql(
+        f"SELECT count(*) FROM '{src}/embeddings.parquet'").fetchone()[0]
+    n, dims, n_clusters, sigma = base_n * rep, 64, 64, 0.5
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((n_clusters, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sizes = 1.0 / np.arange(1, n_clusters + 1)
+    cid = rng.choice(n_clusters, size=n, p=sizes / sizes.sum())
+    v = centers[cid] + rng.standard_normal((n, dims)) * (sigma / np.sqrt(dims))
+    v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    table = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dims, dims, dtype=np.int32)),
+            pa.array(v.reshape(-1))),
+        "label": pa.array(cid.astype(np.int32)),
+    })
+    pq.write_table(table, f"{dst}/embeddings.parquet")
 
 
 if __name__ == "__main__":
