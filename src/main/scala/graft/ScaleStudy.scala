@@ -122,21 +122,106 @@ object ScaleStudy {
       val docs = graft.core.FanOut(
         graft.sources.Tables(spark, sfDir).documents)
       val nDocs = docs.count()
-      val merges = 256
-      val t0 = System.nanoTime()
-      val (seqRules, _) = graft.queries.Bpe.trainState(docs, merges)
-      val nSeq = seqRules.count()
-      val seqSec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      // SPARK_GRAFT_BPE_MERGES: merge budget (default 256, the round-8
+      // operating point). SPARK_GRAFT_BPE_SEQ=0 skips the sequential
+      // control — at 1024+ merges its cost is pure round-count
+      // arithmetic (measured at 256) and re-paying it buys nothing.
+      val merges =
+        sys.env.get("SPARK_GRAFT_BPE_MERGES").map(_.toInt).getOrElse(256)
+      val runSeq = sys.env.get("SPARK_GRAFT_BPE_SEQ").forall(_ != "0")
+      val seqJson = if (runSeq) {
+        val t0 = System.nanoTime()
+        val (seqRules, _) = graft.queries.Bpe.trainState(docs, merges)
+        val nSeq = seqRules.count()
+        val seqSec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s""""seq_merges":$nSeq,"seq_sec":$seqSec,"""
+      } else ""
       val t1 = System.nanoTime()
       val (batRules, _) = graft.queries.Bpe.trainStateBatched(docs, merges)
       val nBat = batRules.count()
       val batSec = (System.nanoTime() - t1) / 1e9
       val rounds = batRules.agg(max("round")).head().getInt(0)
+      // batch width per round — the round-8 expectation ("batches
+      // widen past the character regime") measured instead of stated
+      val widths = batRules.groupBy("round").count().orderBy("round")
+        .collect().map(_.getLong(1))
+      val windowMeans = widths.grouped(64).map(w =>
+        f"${w.sum.toDouble / w.length}%.2f").mkString("[", ",", "]")
       spark.stop()
       println(s"""{"metric":"bpe_merges","n":$nDocs,"merges":$merges,""" +
-        s""""seq_merges":$nSeq,"seq_sec":$seqSec,"bat_merges":$nBat,""" +
-        s""""bat_sec":$batSec,"bat_rounds":$rounds,"sf":"$sfDir"}""")
+        seqJson + s""""bat_merges":$nBat,""" +
+        s""""bat_sec":$batSec,"bat_rounds":$rounds,""" +
+        s""""batch_mean_per_64rounds":$windowMeans,""" +
+        s""""batch_by_round":${widths.mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir"}""")
+      return
+    }
+
+    // "streaming": sustained micro-batch throughput on the RocksDB
+    // provider — the 100 TB/day shape the 15 oracled st_* rows prove
+    // SEMANTICS for but never measure. Stages SPARK_GRAFT_STREAM_REP
+    // (default 10) replica chunks of the events table with event time
+    // SHIFTED one span per replica (so the watermark genuinely
+    // advances and evicts — state must stay bounded by the window, not
+    // grow with history), then drains them one file per trigger
+    // through a watermarked windowed aggregate. Reports events/s over
+    // the drain and the state-store row/byte trajectory from the
+    // progress stream — the boundedness claim as numbers.
+    if (study == "streaming") {
+      import org.apache.spark.sql.functions._
+      val rep = sys.env.get("SPARK_GRAFT_STREAM_REP").map(_.toInt).getOrElse(10)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.queries.StreamingQueries.RocksDbProvider)
+      s2.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = graft.sources.Tables(s2, sfDir).events
+        .transform(graft.sources.Tables.normalizeEventTs)
+        .select(col("ts"), col("user_id"), col("event_type"))
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_stream_src_").toString
+      (0 until rep).foreach { i =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_stream_stage_").toString
+        ev.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 32} DAYS"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, f"chunk-$i%04d.parquet"))
+      }
+      val schema = s2.read.parquet(src).schema
+      val chk = java.nio.file.Files
+        .createTempDirectory("graft_stream_chk_").toString
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", chk)
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.toSeq
+      q.stop()
+      def longs(re: scala.util.matching.Regex): Seq[Long] =
+        progs.flatMap(p => re.findFirstMatchIn(p.json).map(_.group(1).toLong))
+      val inputRows = longs(""""numInputRows"\s*:\s*(\d+)""".r)
+      val stateRows = longs(""""numRowsTotal"\s*:\s*(\d+)""".r)
+      val stateMem = longs(""""memoryUsedBytes"\s*:\s*(\d+)""".r)
+      val events = inputRows.sum
+      spark.stop()
+      println(s"""{"metric":"stream_throughput","rep":$rep,""" +
+        s""""events":$events,"batches":${inputRows.count(_ > 0)},""" +
+        s""""wall_sec":$wall,""" +
+        s""""events_per_sec":${(events / wall).toLong},""" +
+        s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
+        s""""state_rows_last":${stateRows.lastOption.getOrElse(0L)},""" +
+        s""""state_mem_max_bytes":${if (stateMem.isEmpty) 0 else stateMem.max},""" +
+        s""""sf":"$sfDir"}""")
       return
     }
 

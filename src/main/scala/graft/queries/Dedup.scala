@@ -736,6 +736,10 @@ object Dedup extends QueryModule {
           when(col("__cc") <= cap, 0)) { (acc, c) =>
           acc.when(col("__cc") <= cap.toLong * (1L << (4 * c)), c)
         }.otherwise(SemdedupMaxBlockChars)
+        // persist: five consumers read this frame (core min, core
+        // drops, both pair-join branches, the final projection) — the
+        // measured ×10 overhead of recomputing the enrichment per
+        // consumer was ~1.5× the whole query. Released in [[settled]].
         val lbl = assigned.join(broadcast(counts), Seq("cell"))
           .join(cents, Seq("cell"))
           .withColumn("__cosc", round(
@@ -747,6 +751,7 @@ object Dedup extends QueryModule {
             expr("substr(md5(concat('graft-semdedup-block|', " +
               "cast(vec_id as string))), 1, __chars)")))
           .select("vec_id", "cell", "subcell", "embedding", "norm", "__core")
+          .persist()
         // core collapse: all but the lowest-id core member drop — the
         // O(|cell|) replacement for the quadratic join on the tight
         // cluster that made the cell oversized in the first place
@@ -784,7 +789,7 @@ object Dedup extends QueryModule {
         labeled.select("vec_id", "cell", "subcell", "kept")
       else labeled.select("vec_id", "cell", "kept"))
         .orderBy("vec_id"),
-      assigned)
+      Seq(assigned) ++ (if (cellCap.isDefined) Seq(keyed) else Nil): _*)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup by

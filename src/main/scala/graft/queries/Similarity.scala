@@ -162,7 +162,13 @@ object Similarity extends QueryModule {
     * budget is the cheaper right answer (neighbors concentrate in the
     * query's own cells); this rule is the structureless-data fallback,
     * and its cost is explicit: candidates per query = n/16 instead of
-    * 3·n/k. The round-8 recall study measures both operating points.
+    * 3·n/k. The round-8 recall study measures both operating points —
+    * and the round-9 CLUSTERED decades (mixture-of-Gaussians upscale)
+    * turned the clustered-data claim from design argument into
+    * measurement: fixed 3 probes holds recall@3 = 0.90/0.92 at
+    * ×10/×100 clustered (scanning 3/256 of cells at ×100) where the
+    * same budget reads 0.28/0.17 on isotropic data
+    * (BENCH_recall_r9.jsonl; BENCH_NOTES round-9 recall section).
     */
   def kmeansProbesForK(k: Int): Int = math.max(KmeansProbes, k / 16)
 
