@@ -1512,7 +1512,75 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Eval-set membership rule for [[ddContamEmbed]]: every 13th vec_id
+    * stands in for an external benchmark's embedded prompts (39 of the
+    * gate corpus's 500 vectors — benchmark-sized against the rest).
+    */
+  private[graft] val ContamEmbedEvalMod = 13
+  /** Cosine at or above which a train vector is flagged as semantic
+    * contamination — the same rounded-cosine operating point as the
+    * near-dup family ([[ddEmbedNear]]), applied cross-set.
+    */
+  private[graft] val ContamEmbedTau = 0.35
+
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[ddContam]]'s lexical 3-gram screen: a paraphrased benchmark
+    * question shares no shingle with its source but lands next to it
+    * in embedding space, so training-corpus hygiene at the frontier
+    * runs BOTH screens. Flags every train (non-eval) vector whose
+    * cosine against ANY eval vector clears [[ContamEmbedTau]]; reports
+    * the closest eval neighbor (ties → lowest eval_id), its cosine,
+    * and how many eval vectors it collides with.
+    *
+    * Scale shape — the whole query is MAP WORK over the train scan:
+    * the eval set (a benchmark suite: thousands of rows, MBs — never
+    * corpus-scale) collapses into ONE broadcast row holding an array
+    * of (eval_id, embedding, norm) structs, and each train row scores
+    * it with in-row higher-order folds (the [[Relational.q41HigherOrder]]
+    * device): zero exchange of train rows, zero groupBy — the
+    * n_hits/argmax aggregation happens INSIDE the row over the
+    * cosine array, not across rows. Per-row cost is |eval|·d fused
+    * multiply-adds at scan speed, the same shape as [[TextAnalysis]]'s
+    * DSIR broadcast-score pass. (A corpus-scale "eval" side would
+    * instead ride the banded-LSH candidate machinery — [[ddEmbedLsh]];
+    * this operator is the benchmark-sized fast path.)
+    *
+    * Determinism: the dot is the canonical left fold in doubles
+    * (cast-then-multiply-then-fold — bit-identical to the DuckDB
+    * replay), cosines round to 6 before every comparison, and the
+    * in-row argmax breaks cosine ties on lowest eval_id via struct
+    * ordering on (cosine, −eval_id).
+    */
+  def ddContamEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("nrm", sqrt(expr("aggregate(emb, 0d, (a, x) -> a + x * x)")))
+    val isEval = pmod(col("vec_id"), lit(ContamEmbedEvalMod)) === 0
+    // the benchmark side: ONE row, an array of eval structs (sorted for
+    // a deterministic broadcast payload; consumers are order-invariant)
+    val evalArr = e.where(isEval)
+      .select(struct(col("vec_id").as("eval_id"), col("emb"), col("nrm")).as("ev"))
+      .agg(sort_array(collect_list(col("ev"))).as("evals"))
+    e.where(!isEval)
+      .crossJoin(broadcast(evalArr))
+      .withColumn("cos_arr", expr(
+        """transform(evals, ev -> struct(
+          |  round(aggregate(zip_with(emb, ev.emb, (x, y) -> x * y),
+          |    0d, (a, v) -> a + v) / (nrm * ev.nrm), 6) AS cosine,
+          |  ev.eval_id AS eval_id))""".stripMargin))
+      .withColumn("hits",
+        expr(s"filter(cos_arr, c -> c.cosine >= $ContamEmbedTau)"))
+      .where(size(col("hits")) > 0)
+      .withColumn("best", expr(
+        "array_max(transform(hits, c -> struct(c.cosine AS cosine, -c.eval_id AS neg_id)))"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("eval_id"),
+        col("best.cosine").as("cosine"), size(col("hits")).as("n_hits"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_contam_embed" -> (ddContamEmbed _),
     "dd_keep_best" -> (ddKeepBest _),
     "dd_manifest" -> (ddManifest _),
     "dd_split" -> (ddSplit _),
@@ -1758,6 +1826,36 @@ object Dedup extends QueryModule {
          |  round(h.n_hit::DOUBLE / len(tr.shd), 6) AS contam_ratio
          |FROM h JOIN tr ON tr.doc_id = h.doc_id
          |ORDER BY h.doc_id""".stripMargin,
+    // the semantic screen: same per-side norms + canonical double fold
+    // as dd_embed_near, cross-set; best neighbor = highest rounded
+    // cosine, ties to lowest eval_id (the struct-max's (cosine,
+    // −eval_id) ordering, replayed as a window rank)
+    "dd_contam_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${embDotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS eemb, nrm AS enrm
+         |  FROM e WHERE vec_id % $ContamEmbedEvalMod = 0
+         |), c AS (
+         |  SELECT vec_id, embedding, nrm
+         |  FROM e WHERE vec_id % $ContamEmbedEvalMod <> 0
+         |), p AS (
+         |  SELECT c.vec_id, ev.eval_id,
+         |    round(${embDotSql("c.embedding", "ev.eemb")}
+         |      / (c.nrm * ev.enrm), 6) AS cosine
+         |  FROM c, ev
+         |), h AS (
+         |  SELECT vec_id, eval_id, cosine FROM p WHERE cosine >= $ContamEmbedTau
+         |), r AS (
+         |  SELECT vec_id, eval_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, eval_id) AS rn,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_hits
+         |  FROM h)
+         |SELECT vec_id, eval_id, cosine, CAST(n_hits AS INTEGER) AS n_hits
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "dd_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies

@@ -826,6 +826,36 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Avro round-trip through [[graft.sources.AvroIO]] — the row-major
+    * interchange format of the ingest surface (parquet/ORC columnar,
+    * JSONL/CSV textual, Avro the schema'd row format CDC streams and
+    * Kafka topics actually ship). The events table — the hardest type
+    * mix: microsecond timestamps, doubles, JSON-bearing strings —
+    * writes as container files and reads back via the sync-marker-
+    * splittable `AvroKeyInputFormat` path, then aggregates; the oracle
+    * runs the same aggregate over the ORIGINAL parquet, so any value,
+    * type, or precision drift in the format pair fails the gate.
+    * `id_sum` pins the long column exactly; `last_ts` renders full
+    * micros (Avro's `timestamp-micros` logical type makes the CSV
+    * trap from [[q43CsvRoundtrip]] structural rather than
+    * format-string-dependent).
+    */
+  def q63AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir("q63_avro")
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val src = Tables(s, dir).events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.sources.AvroIO.write(src, base)
+    graft.sources.AvroIO.read(s, base, src.schema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        sum(cents(col("value"))).as("value_cents"),
+        date_format(max(col("ts")), fmt).as("last_ts"),
+        sum(length(col("props"))).as("props_bytes"))
+      .orderBy("event_type")
+  }
+
   /** Higher-order array functions over the embedding column —
     * filter/size, aggregate (left fold), and zip_with, all evaluated
     * INSIDE the row with zero explode: the lambda runs in codegen over
@@ -1484,6 +1514,89 @@ object Relational extends QueryModule {
       .orderBy("action", "status")
   }
 
+  /** MERGE fed by a MULTI-VERSION hot-key change stream — the CDC
+    * reality [[q55MergeUpsert]]/[[q60MergeBucketed]]/
+    * [[q61MergeBroadcast]] idealize away: their batches carry exactly
+    * one change per key, but a real stream delivers MANY versions per
+    * key per cycle, and hot keys update every cycle (the r8 verdict's
+    * skew scenario). A merge needs exactly-one-row-per-key, so the
+    * batch must be COMPACTED to the latest change first — and the
+    * compaction is where version skew lives and dies:
+    *
+    *   - latest-per-key = a struct-max aggregate with the sequence
+    *     number as the leading field (the [[graft.queries.KmeansIvf]]
+    *     argmin device, flipped to argmax). PARTIAL (map-side)
+    *     aggregation collapses each task's versions of a hot key to
+    *     ONE buffer row before the exchange, so the shuffle carries at
+    *     most (#tasks × #touched keys) rows no matter how many
+    *     versions the hot key produced — the combiner mechanism that
+    *     makes word count's "the" harmless makes CDC's hot tenant
+    *     harmless. A window row_number() formulation would instead
+    *     ship EVERY version to the key's one partition and sort it
+    *     there: that plan's hot task is exactly the skew this one
+    *     cannot have.
+    *   - the fixture makes the skew real: change keys concentrate in
+    *     [0, [[MergeHotKeyBound]]) (q61's shape), ordinary keys carry
+    *     1–5 versions, and every key ≡ 0 (mod 500) carries 200 —
+    *     two orders of magnitude hotter than the median.
+    *   - the compacted batch is batch-sized by construction, so the
+    *     merge itself is ONE left-outer broadcast join (update/delete
+    *     keys reconcile, unmatched target rows keep) — the target is
+    *     never key-partitioned, completing the q61 posture.
+    *
+    * The audit output adds `win_seq_sum` (the sum of winning sequence
+    * numbers) to the action/status manifest: compacting to the WRONG
+    * version — first instead of last, or a hot-key version lost in the
+    * partial/final merge — drifts win_seq_sum and the priced cents
+    * together, so "latest wins" is hash-checked, not assumed.
+    * PlanShapeSpec asserts the mechanism: a partial_max on the version
+    * aggregate, exactly one key-partitioned exchange (the compaction's
+    * own), broadcast merge join, zero SortMergeJoin.
+    */
+  def q62MergeCompacted(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // the raw stream: nv versions per touched key, hot keys at 200
+    val raw = o.where(col("o_orderkey") < MergeHotKeyBound)
+      .withColumn("nv",
+        when(col("o_orderkey") % 500 === 0, lit(200))
+          .otherwise((col("o_orderkey") % 5 + 1).cast("int")))
+      .select(col("o_orderkey").as("c_orderkey"), col("nv"),
+        explode(sequence(lit(1), col("nv"))).as("seq"),
+        col("o_totalprice"))
+    // one row per version: price moves with seq (exact integer adds on
+    // doubles), the key's final disposition rides its LAST version
+    val versions = raw.select(
+      col("c_orderkey"), col("seq").cast("long").as("seq"),
+      when(col("seq") === col("nv") && col("c_orderkey") % 11 === 3, "D")
+        .otherwise("U").as("op"),
+      (col("o_totalprice") + col("seq")).as("c_totalprice"),
+      lit("U").as("c_status"))
+    val compacted = versions
+      .groupBy("c_orderkey")
+      .agg(max(struct(col("seq"), col("op"), col("c_totalprice"),
+        col("c_status"))).as("w"))
+      .select(col("c_orderkey"), col("w.seq").as("win_seq"),
+        col("w.op").as("op"), col("w.c_totalprice").as("c_totalprice"),
+        col("w.c_status").as("c_status"))
+    o.join(broadcast(compacted), col("o_orderkey") === col("c_orderkey"),
+        "left_outer")
+      .withColumn("action",
+        when(col("op") === "D", "delete")
+          .when(col("op") === "U", "update")
+          .otherwise("keep"))
+      .withColumn("status",
+        when(col("action") === "update", col("c_status"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("price",
+        when(col("action") === "update", col("c_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .groupBy("action", "status")
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("price"))).as("cents"),
+        sum(coalesce(col("win_seq"), lit(0L))).as("win_seq_sum"))
+      .orderBy("action", "status")
+  }
+
   /** Target compacted-file size for [[q57CompactionPlan]] — small so
     * the sf0.01 fixture produces multiple groups per partition; a
     * production run passes its table's target (128–1024 MB).
@@ -1591,6 +1704,8 @@ object Relational extends QueryModule {
     "q54_zorder" -> (q54Zorder _),
     "q54_zorder_rank" -> (q54ZorderRank _),
     "q61_merge_broadcast" -> (q61MergeBroadcast _),
+    "q62_merge_compacted" -> (q62MergeCompacted _),
+    "q63_avro_roundtrip" -> (q63AvroRoundtrip _),
     "q56_pit_join" -> (q56PitJoin _),
     "q57_compaction_plan" -> (q57CompactionPlan _),
     "q58_schema_evolution" -> (q58SchemaEvolution _),
@@ -1819,6 +1934,45 @@ object Relational extends QueryModule {
          |  SELECT 'insert', 'N', 1.23 FROM o WHERE o_orderkey % 13 = 0)
          |SELECT action, status, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM merged GROUP BY action, status ORDER BY action, status""".stripMargin,
+    // regenerates the identical multi-version stream, compacts with
+    // arg_max over the sequence number (the struct-max's semantics),
+    // and replays the left-outer merge — a wrong compaction winner
+    // drifts win_seq_sum and cents together
+    "q62_merge_compacted" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |raw AS (
+         |  SELECT o_orderkey AS c_orderkey,
+         |    CASE WHEN o_orderkey % 500 = 0 THEN 200
+         |         ELSE 1 + o_orderkey % 5 END AS nv,
+         |    o_totalprice
+         |  FROM o WHERE o_orderkey < $MergeHotKeyBound),
+         |v AS (
+         |  SELECT c_orderkey, CAST(u.seq AS BIGINT) AS seq,
+         |    CASE WHEN u.seq = nv AND c_orderkey % 11 = 3 THEN 'D'
+         |         ELSE 'U' END AS op,
+         |    o_totalprice + u.seq AS c_totalprice, 'U' AS c_status
+         |  FROM raw, LATERAL unnest(range(1, nv + 1)) AS u(seq)),
+         |latest AS (
+         |  SELECT c_orderkey, max(seq) AS win_seq,
+         |    arg_max(op, seq) AS op,
+         |    arg_max(c_totalprice, seq) AS c_totalprice,
+         |    arg_max(c_status, seq) AS c_status
+         |  FROM v GROUP BY c_orderkey),
+         |merged AS (
+         |  SELECT CASE WHEN l.op = 'D' THEN 'delete'
+         |              WHEN l.op = 'U' THEN 'update'
+         |              ELSE 'keep' END AS action,
+         |    CASE WHEN l.op = 'U' THEN l.c_status
+         |         ELSE o.o_orderstatus END AS status,
+         |    CASE WHEN l.op = 'U' THEN l.c_totalprice
+         |         ELSE o.o_totalprice END AS price,
+         |    coalesce(l.win_seq, 0) AS win_seq
+         |  FROM o LEFT JOIN latest l ON o.o_orderkey = l.c_orderkey)
+         |SELECT action, status, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+         |  CAST(sum(win_seq) AS BIGINT) AS win_seq_sum
          |FROM merged GROUP BY action, status ORDER BY action, status""".stripMargin,
 
     // covers the first-row NULL the Spark side spells with isNull
@@ -2232,6 +2386,15 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same: oracle from parquet, Avro pair must be lossless incl. the
+    // long ids and micros
+    "q63_avro_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(event_id) AS BIGINT) AS id_sum,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        | CAST(sum(len(props)) AS BIGINT) AS props_bytes
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same: oracle from parquet, CSV pair must be lossless incl. micros
     "q43_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,

@@ -298,6 +298,71 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Model sink for [[simKnnJoin]] — same persistence contract as
+    * [[KmeansCentroidDir]].
+    */
+  private[graft] lazy val KnnCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_knn_centroids_").toString
+
+  /** Neighbors reported per vector by [[simKnnJoin]]. */
+  private[graft] val KnnJoinK = 3
+
+  /** ANN k-NN JOIN — the all-rows variant of the ANN family: every sim_*
+    * search answers "top-k for a QUERY SET", and every dd_embed/semdedup
+    * variant answers "which pairs clear a THRESHOLD"; this operator
+    * answers "the top-[[KnnJoinK]] neighbors of EVERY corpus vector" —
+    * the primitive under k-NN-graph construction, semantic clustering,
+    * and retrieval-augmented pretraining (each document's nearest
+    * neighbors become its retrieval context).
+    *
+    * Shape: sampled-training k-means cells ([[TrainSamplePerCell]]·k
+    * coins — the corpus-scale training path), one broadcast-join
+    * assignment pass (n rows through the [[KmeansIvf.assignCells]]
+    * struct-min aggregate), then a SELF-equi-join on the cell key and a
+    * per-vector rank-truncated window. Candidate volume is Σ|cell|² —
+    * bounded in expectation by the k ≈ √n rule exactly as SemDeDup's
+    * pair join, and under real (clustered) skew by the SAME per-cell
+    * discipline [[Dedup.SemdedupCellCap]] applies there (core-collapse +
+    * md5 blocks); this gate query keeps the uncapped join because its
+    * oracle must see every candidate. The window's WindowGroupLimit
+    * keeps [[KnnJoinK]] rows per vector pre-sort, so the rank never
+    * materializes a cell's full candidate list past the shuffle.
+    *
+    * Recall caveat, measured not hidden: same-cell candidates only —
+    * a vector near a Voronoi face can miss a cross-cell true neighbor
+    * (the round-8/9 recall decades quantify exactly this erosion and
+    * the probe rule that buys it back; a production k-NN graph adds
+    * multi-probe on the QUERY side of the self-join, which composes
+    * here as [[KmeansIvf.probeCells]] replacing the left assignment).
+    * Ranking follows the family convention: exact cosine doubles
+    * (bit-equal in both engines), ties to the lowest neighbor id,
+    * rounded only at output.
+    */
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val vectors = e.select(col("vec_id"), col("embedding"))
+    val trainVecs = vectors.orderBy(kmeansSampleCoin, col("vec_id"))
+      .limit(TrainSamplePerCell * KmeansK)
+    KmeansIvf.train(trainVecs, KmeansK, KmeansIters, seedSmallest = true)
+      .write.mode("overwrite").parquet(KnnCentroidDir)
+    val trained = s.read.parquet(KnnCentroidDir)
+    val assigned = KmeansIvf.assignCells(vectors, trained)
+      .join(e.select(col("vec_id"), col("norm")), Seq("vec_id"))
+    val a = assigned.select(col("cell"), col("vec_id"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_exact").desc, col("nbr_id"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos_exact", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= KnnJoinK)
+      .select(col("vec_id"), col("rank"), col("nbr_id"),
+        round(col("cos_exact"), 6).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Where [[simPq]] persists the trained per-subspace codebooks —
     * per-run unique, same contract as [[KmeansCentroidDir]] (the
     * oracle SQL interpolates this path and DuckDB replays it AFTER
@@ -385,6 +450,7 @@ object Similarity extends QueryModule {
     "sim_ivf_bucket" -> (simIvfBucket _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_kmeans_ivf_sampled" -> (simKmeansIvfSampled _),
+    "sim_knn_join" -> (simKnnJoin _),
     "sim_int8_topk" -> (simInt8Topk _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (IvfPq.simIvfPq _),
@@ -486,6 +552,37 @@ object Similarity extends QueryModule {
     // Shared verbatim with the full-training twin: past training, the
     // two queries ARE the same query against different model tables.
     "sim_kmeans_ivf_sampled" -> kmeansOracleSqlFor(SampledKmeansCentroidDir),
+    // the k-NN-join replay: same argmin assignment CTE over the model
+    // the engine trained, then the cell self-join and the per-vector
+    // (cosine desc, nbr_id) rank — a cross-cell candidate, a missed
+    // same-cell one, or a tie broken the other way all hash-fail
+    "sim_knn_join" ->
+      s"""WITH cent AS (
+         |  SELECT cid, centroid
+         |  FROM read_parquet('$KnnCentroidDir/*.parquet')),
+         |d AS (
+         |  SELECT e.vec_id, e.embedding, cent.cid,
+         |    ${dotSql("embedding", "embedding")}
+         |      - 2.0 * ${dotSql("embedding", "centroid")}
+         |      + ${dotSql("centroid", "centroid")} AS d2
+         |  FROM embeddings e CROSS JOIN cent),
+         |asg AS (
+         |  SELECT vec_id, embedding, cid AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+         |  FROM d QUALIFY crank = 1),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${dotSql("a.embedding", "b.embedding")}
+         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |        * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_exact
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_exact DESC, nbr_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT vec_id, rank, nbr_id, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= $KnnJoinK ORDER BY vec_id, rank""".stripMargin,
     // Replays PQ end to end over the codebooks the engine TRAINED and
     // persisted: same subvector slicing, same argmin code assignment
     // (nv2 - 2·dot + nc2 left folds, lowest-cid ties), same per-query

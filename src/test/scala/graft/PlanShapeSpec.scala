@@ -113,6 +113,35 @@ class PlanShapeSpec extends SparkSpec {
       s"no key-partitioned exchange may appear:\n$p")
   }
 
+  test("q62_merge_compacted: version skew dies in the partial aggregate; merge is broadcast") {
+    val p = plan("q62_merge_compacted")
+    // latest-per-key compaction map-side combines: a hot key's 200
+    // versions collapse to one buffer row per task BEFORE the exchange
+    assert(p.contains("partial_max("),
+      s"compaction must carry a partial (map-side) max:\n$p")
+    // exactly ONE key-partitioned exchange — the compaction's own;
+    // the target is never partitioned by key
+    val keyEx = "Exchange hashpartitioning\\((?:c_orderkey|o_orderkey)".r
+      .findAllIn(p).size
+    assert(keyEx == 1, s"expected exactly one key exchange (the compaction), got $keyEx:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"merge must be a left-outer broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no target shuffle, no window-formulated compaction:\n$p")
+  }
+
+  test("dd_contam_embed: benchmark screen is map work — broadcast eval row, no key exchange") {
+    val p = plan("dd_contam_embed")
+    // the eval set rides ONE broadcast row; train vectors never shuffle
+    // (the only exchanges are the eval set's own single-partition
+    // collect and the final output sort)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval array must join as a broadcast single-row frame:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no train-side key exchange may appear:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join may appear:\n$p")
+  }
+
   test("q54_zorder_rank: rank tables broadcast back, guard branch dead by construction") {
     val p = plan("q54_zorder_rank")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
