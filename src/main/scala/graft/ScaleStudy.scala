@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming]
+  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|knn_join|contam_embed]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -380,10 +380,48 @@ object ScaleStudy {
                 trainCap = cap)
               .write.format("noop").mode("overwrite").save()
           })
+      case "knn_join" =>
+        // the k-NN self-join at cells ≈ √n, sampled training, and the
+        // FIXED probe budget — deliberately NOT kmeansProbesForK: that
+        // rule pins a query's scanned fraction at 1/16 of cells, which
+        // for a QUERY SET is n/16 candidates per query, but for the
+        // all-rows JOIN it turns total candidates into n²/16 —
+        // quadratic by construction, the exact wall the cell blocking
+        // exists to avoid. The join's candidate volume at fixed probes
+        // is probes × Σ|cell|² ≈ probes · n^1.5 at the k-rule
+        // (semdedup's pair-join family, one probe-multiple over), and
+        // the round-9 clustered recall decades measured fixed-3-probe
+        // recall@3 at 0.90+ on clustered corpora — the regime real
+        // embeddings live in and the operating point a k-NN graph
+        // builder actually ships.
+        val k = graft.queries.Similarity.kmeansCellsForN(n)
+        val probes = graft.queries.Similarity.KmeansProbes
+        val cap = graft.queries.Similarity.TrainSamplePerCell * k
+        ("sim_knn_join_rule",
+          s""""k":$k,"probes":$probes,"train_cap":$cap""",
+          () => {
+            val cd = java.nio.file.Files
+              .createTempDirectory("graft_knn_study_").toString
+            graft.queries.Similarity.knnJoinCore(
+                emb.select("vec_id", "embedding"), cd, k,
+                graft.queries.Similarity.KmeansIters, probes, Some(cap))
+              .write.format("noop").mode("overwrite").save()
+          })
+      case "contam_embed" =>
+        // semantic decontamination with the eval set held BENCHMARK-
+        // SIZED (≈40 vectors at every decade — the production shape:
+        // the benchmark does not grow with the corpus): the claim
+        // under measurement is scan-speed linearity of the broadcast
+        // in-row fold
+        val evalMod = math.max(graft.queries.Dedup.ContamEmbedEvalMod.toLong,
+          n / 39)
+        ("dd_contam_embed_rule", s""""eval_mod":$evalMod""",
+          () => graft.queries.Dedup.contamEmbed(emb, evalMod)
+            .write.format("noop").mode("overwrite").save())
       case other =>
         sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
           "semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|" +
-          "r7ops2|lenctl|streaming)")
+          "r7ops2|lenctl|streaming|knn_join|contam_embed)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

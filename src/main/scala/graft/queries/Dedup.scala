@@ -1551,12 +1551,21 @@ object Dedup extends QueryModule {
     * in-row argmax breaks cosine ties on lowest eval_id via struct
     * ordering on (cosine, −eval_id).
     */
-  def ddContamEmbed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).embeddings
+  def ddContamEmbed(s: SparkSession, dir: String): DataFrame =
+    contamEmbed(Tables(s, dir).embeddings, ContamEmbedEvalMod)
+
+  /** Core of [[ddContamEmbed]], parameterized on the embeddings frame
+    * and the eval-membership modulus — ScaleStudy's `contam_embed`
+    * mode scales the modulus with n so the eval set stays
+    * benchmark-SIZED (constant) while the train side grows, which is
+    * the production shape this operator's zero-shuffle plan assumes.
+    */
+  private[graft] def contamEmbed(emb: DataFrame, evalMod: Long): DataFrame = {
+    val e = emb
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
       .withColumn("nrm", sqrt(expr("aggregate(emb, 0d, (a, x) -> a + x * x)")))
-    val isEval = pmod(col("vec_id"), lit(ContamEmbedEvalMod)) === 0
+    val isEval = pmod(col("vec_id"), lit(evalMod)) === 0
     // the benchmark side: ONE row, an array of eval structs (sorted for
     // a deterministic broadcast payload; consumers are order-invariant)
     val evalArr = e.where(isEval)

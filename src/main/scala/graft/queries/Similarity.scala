@@ -343,17 +343,35 @@ object Similarity extends QueryModule {
     * (bit-equal in both engines), ties to the lowest neighbor id,
     * rounded only at output.
     */
-  def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir)
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoinCore(
+      graft.core.FanOut(Tables(s, dir).embeddings)
+        .select(col("vec_id"), col("embedding")),
+      KnnCentroidDir, KmeansK, KmeansIters,
+      KmeansProbes, Some(TrainSamplePerCell * KmeansK))
+
+  /** Core of [[simKnnJoin]], parameterized on the (vec_id, embedding)
+    * vector set, the centroid sink, and the (k, probes, trainCap)
+    * operating point — ScaleStudy's `knn_join` mode measures the
+    * rule-resolved path ([[kmeansCellsForN]] / [[kmeansProbesForK]])
+    * across decades.
+    */
+  private[graft] def knnJoinCore(vectors0: DataFrame, centDir: String, k: Int,
+      iters: Int, probes: Int, trainCap: Option[Int]): DataFrame = {
+    val s = vectors0.sparkSession
+    val e = vectors0.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val vectors = e.select(col("vec_id"), col("embedding"))
-    val trainVecs = vectors.orderBy(kmeansSampleCoin, col("vec_id"))
-      .limit(TrainSamplePerCell * KmeansK)
-    KmeansIvf.train(trainVecs, KmeansK, KmeansIters, seedSmallest = true)
-      .write.mode("overwrite").parquet(KnnCentroidDir)
-    val trained = s.read.parquet(KnnCentroidDir)
+    val trainVecs = trainCap match {
+      case Some(cap) => vectors.orderBy(kmeansSampleCoin, col("vec_id")).limit(cap)
+      case None => vectors
+    }
+    KmeansIvf.train(trainVecs, k, iters, seedSmallest = trainCap.isDefined)
+      .write.mode("overwrite").parquet(centDir)
+    val trained = s.read.parquet(centDir)
     val assigned = KmeansIvf.assignCells(vectors, trained)
       .join(e.select(col("vec_id"), col("norm")), Seq("vec_id"))
-    val a = KmeansIvf.probeCells(vectors, trained, KmeansProbes)
+    val a = KmeansIvf.probeCells(vectors, trained, probes)
       .join(e, Seq("vec_id"))
       .select(col("cell"), col("vec_id"),
         col("embedding").as("ea"), col("norm").as("na"))
