@@ -768,7 +768,111 @@ object StreamingQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** STREAMING CDC APPLY — the composition the lakehouse rows (q55/
+    * q60/q61/q62) and the streaming rows prove separately, run as one
+    * pipeline: a multi-version change stream arrives in micro-batches
+    * and `foreachBatch` maintains the merged target table; after the
+    * stream drains, the target's audit must equal the BATCH merge's —
+    * the oracle is q62_merge_compacted's VERBATIM, so the one property
+    * streaming adds is hash-checked: BATCH-BOUNDARY INVARIANCE. The
+    * fixture makes that property non-vacuous in two ways: versions of
+    * one key are scattered ACROSS batches (repartition(6), one file
+    * per trigger — whatever interleaving the split produces must
+    * converge), and last-writer-wins reconciliation is implemented as
+    * the same struct-max aggregate as q62, which is associative and
+    * commutative over any grouping of the version stream — the
+    * algebraic fact the hash equality witnesses.
+    *
+    * Per batch: target' = struct-max over (current target ∪ batch
+    * rows) keyed on c_orderkey, written to a NEW versioned parquet dir
+    * (never overwrite what you read). Initial target = the orders
+    * snapshot at seq 0 / op 'K'. This is the foreachBatch upsert
+    * posture for sinks without native MERGE; the per-batch cost is one
+    * target scan + the same map-side-combining aggregate q62 uses (a
+    * hot key's versions collapse per task), and with a bucketed target
+    * each batch becomes q60's zero-exchange merge — the rewrite here
+    * keeps the gate fixture self-contained. Deletes retain the
+    * ORIGINAL row's status/price in the audit (q62's semantics), so
+    * the final audit joins the target back to the snapshot.
+    */
+  def stMergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.sources.Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // the q62 version stream, verbatim (keys < bound; hot keys at 200
+    // versions; op 'D' rides the last version of %11==3 keys)
+    val versions = o
+      .where(col("o_orderkey") < graft.queries.Relational.MergeHotKeyBound)
+      .withColumn("nv",
+        when(col("o_orderkey") % 500 === 0, lit(200))
+          .otherwise((col("o_orderkey") % 5 + 1).cast("int")))
+      .select(col("o_orderkey").as("c_orderkey"), col("nv"),
+        explode(sequence(lit(1), col("nv"))).as("seq0"),
+        col("o_totalprice"))
+      .select(col("c_orderkey"), col("seq0").cast("long").as("seq"),
+        when(col("seq0") === col("nv") && col("c_orderkey") % 11 === 3, "D")
+          .otherwise("U").as("op"),
+        (col("o_totalprice") + col("seq0")).as("price"),
+        lit("U").as("status"))
+    val srcDir = freshDir("st_merge_cdc/src")
+    // 6 files -> 6 micro-batches; the split scatters a key's versions
+    // across batches arbitrarily — the invariance under test
+    versions.repartition(6).write.mode("overwrite").parquet(srcDir)
+    // initial target: the snapshot as state rows (seq 0 loses to any
+    // change; op 'K' marks never-touched keys)
+    var targetDir = freshDir("st_merge_cdc/target0")
+    o.select(col("o_orderkey").as("c_orderkey"), lit(0L).as("seq"),
+        lit("K").as("op"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      .write.mode("overwrite").parquet(targetDir)
+    var nBatches = 0
+    val schema = s.read.parquet(srcDir).schema
+    val chk = freshDir("st_merge_cdc/chk")
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = s.read.parquet(targetDir)
+        val next = cur.unionByName(
+            batch.select("c_orderkey", "seq", "op", "price", "status"))
+          .groupBy("c_orderkey")
+          .agg(max(struct(col("seq"), col("op"), col("price"),
+            col("status"))).as("w"))
+          .select(col("c_orderkey"), col("w.seq").as("seq"),
+            col("w.op").as("op"), col("w.price").as("price"),
+            col("w.status").as("status"))
+        val nd = freshDir(s"st_merge_cdc/target${batchId + 1}")
+        next.write.mode("overwrite").parquet(nd)
+        targetDir = nd
+        nBatches += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(nBatches >= 2,
+      s"batch-boundary invariance needs multiple batches, got $nBatches")
+    // audit = q62's, over the converged state: deletes/keeps report the
+    // ORIGINAL status/price (the snapshot join), updates the change's
+    s.read.parquet(targetDir)
+      .join(o, col("c_orderkey") === col("o_orderkey"))
+      .withColumn("action",
+        when(col("op") === "D", "delete")
+          .when(col("op") === "U", "update")
+          .otherwise("keep"))
+      .withColumn("a_status",
+        when(col("action") === "update", col("status"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("a_price",
+        when(col("action") === "update", col("price"))
+          .otherwise(col("o_totalprice")))
+      .groupBy(col("action"), col("a_status").as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("a_price") * 100).cast("long")).as("cents"),
+        sum(col("seq")).as("win_seq_sum"))
+      .orderBy("action", "status")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_merge_cdc" -> (stMergeCdc _),
     "st_tws_count" -> (stTwsCount _),
     "st_tws_ttl" -> (stTwsTtl _),
     "st_tws_session" -> (stTwsSession _),
@@ -815,6 +919,10 @@ object StreamingQueries extends QueryModule {
        |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q62's oracle VERBATIM: the streaming apply must converge to the
+    // batch merge's exact audit — any batch-boundary sensitivity in
+    // the reconciliation hash-fails
+    "st_merge_cdc" -> Relational.oracles("q62_merge_compacted"),
     // the phase split (event_id % 3) and the per-user cumulative
     // lifetime totals replayed in SQL; users absent from a phase emit
     // no row, matching the processor's empty-iterator short-circuit
