@@ -856,6 +856,33 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** UNPIVOT/melt — the inverse of [[q22Pivot]] and the feeder of every
+    * long-format pipeline (metric stores, per-measure quality tables,
+    * chart data): four lineitem measures melt into (measure, value)
+    * rows via the native `unpivot` operator, then aggregate per
+    * measure. The melt plans as an Expand — ×4 rows inside the scan
+    * stage, ZERO shuffle until the 4-group aggregate, and partial
+    * aggregation collapses the expansion map-side, so at 100 TB the
+    * exchange carries #measures × #tasks rows, not 4n. Values are
+    * summed as cents (order-independent exact) with min/max pinning
+    * the range per measure.
+    */
+  def q64Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("value"))).as("value_cents"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy("measure")
+
   /** Higher-order array functions over the embedding column —
     * filter/size, aggregate (left fold), and zip_with, all evaluated
     * INSIDE the row with zero explode: the lambda runs in codegen over
@@ -1706,6 +1733,7 @@ object Relational extends QueryModule {
     "q61_merge_broadcast" -> (q61MergeBroadcast _),
     "q62_merge_compacted" -> (q62MergeCompacted _),
     "q63_avro_roundtrip" -> (q63AvroRoundtrip _),
+    "q64_unpivot" -> (q64Unpivot _),
     "q56_pit_join" -> (q56PitJoin _),
     "q57_compaction_plan" -> (q57CompactionPlan _),
     "q58_schema_evolution" -> (q58SchemaEvolution _),
@@ -2386,6 +2414,16 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q64_unpivot" ->
+      """SELECT measure, count(*) AS n_rows,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        l_extendedprice, l_discount, l_tax FROM lineitem)
+        |  UNPIVOT (value FOR measure IN
+        |    (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY measure ORDER BY measure""".stripMargin,
     // same: oracle from parquet, Avro pair must be lossless incl. the
     // long ids and micros
     "q63_avro_roundtrip" ->
