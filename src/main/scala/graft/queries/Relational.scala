@@ -856,6 +856,37 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Avro SCHEMA EVOLUTION on read — the row-format twin of
+    * [[q58SchemaEvolution]]'s parquet mergeSchema: generation v1 (even
+    * doc ids) was written BEFORE `lang` existed, generation v2 (odd
+    * ids) carries it; one read of BOTH generations under the v2 READER
+    * schema must surface every row, null-filling v1's missing column —
+    * not via Spark-side schema union (parquet's mechanism) but via
+    * AVRO'S OWN resolution rules: the reader schema's `lang` is a
+    * union(null, string) with a null DEFAULT, which the per-file
+    * datum reader applies when the writer schema lacks the field
+    * ([[graft.sources.AvroIO.avroSchemaFor]]). The oracle re-derives
+    * the answer from the source documents table, so a dropped v1 row,
+    * a missing null-fill, or cross-generation value bleed hash-fails.
+    */
+  def q65AvroEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir("q65_avro_evo")
+    val docs = Tables(s, dir).documents
+    val v1 = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), octet_length(col("text")).as("text_len"))
+    val v2 = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), octet_length(col("text")).as("text_len"),
+        col("lang"))
+    graft.sources.AvroIO.write(v1, s"$base/v1")
+    graft.sources.AvroIO.write(v2, s"$base/v2")
+    graft.sources.AvroIO.read(s, s"$base/{v1,v2}", v2.schema)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_len").cast("long")).as("bytes"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** UNPIVOT/melt — the inverse of [[q22Pivot]] and the feeder of every
     * long-format pipeline (metric stores, per-measure quality tables,
     * chart data): four lineitem measures melt into (measure, value)
@@ -1734,6 +1765,7 @@ object Relational extends QueryModule {
     "q62_merge_compacted" -> (q62MergeCompacted _),
     "q63_avro_roundtrip" -> (q63AvroRoundtrip _),
     "q64_unpivot" -> (q64Unpivot _),
+    "q65_avro_evolution" -> (q65AvroEvolution _),
     "q56_pit_join" -> (q56PitJoin _),
     "q57_compaction_plan" -> (q57CompactionPlan _),
     "q58_schema_evolution" -> (q58SchemaEvolution _),
@@ -2414,6 +2446,15 @@ object Relational extends QueryModule {
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         | strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // re-derived from the source-of-truth documents table: v1 (even
+    // ids) must appear with lang NULL, v2 (odd ids) with its lang
+    "q65_avro_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        | count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin,
     "q64_unpivot" ->
       """SELECT measure, count(*) AS n_rows,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

@@ -68,10 +68,15 @@ object AvroIO {
         case other => throw new IllegalArgumentException(
           s"AvroIO: unsupported type $other for field ${f.name}")
       }
-      val sch = if (f.nullable)
-        Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
-      else base
-      fs.name(f.name).`type`(sch).noDefault()
+      if (f.nullable) {
+        // union(null, T) with a null DEFAULT: the default is what lets
+        // Avro's schema-resolution rules fill the field when a READER
+        // schema contains it but an older writer schema does not — the
+        // evolution path q65_avro_evolution gates
+        val sch = Schema.createUnion(
+          List(Schema.create(Schema.Type.NULL), base).asJava)
+        fs.name(f.name).`type`(sch).withDefault(null)
+      } else fs.name(f.name).`type`(base).noDefault()
     }.endRecord()
   }
 

@@ -97,6 +97,26 @@ class AvroIOSpec extends SparkSpec {
     assert(AvroIO.read(spark, dir, schema).count() === 7)
   }
 
+  test("schema resolution: a reader field missing from the writer fills its null default") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t5"
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, null)), 1),
+      writerSchema)
+    AvroIO.write(df, dir)
+    // reader adds `extra` IN THE MIDDLE: resolution matches by NAME,
+    // and the datum deserializes into the reader schema's positions
+    val readerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    val got = AvroIO.read(spark, dir, readerSchema).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    assert(got === Set((1L, null, "a"), (2L, null, null)))
+  }
+
   test("schema mapping: nullable fields become union(null, T), micros logical type") {
     val av = AvroIO.avroSchemaFor(schema)
     import org.apache.avro.Schema
