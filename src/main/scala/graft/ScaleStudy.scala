@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|knn_join|contam_embed]
+  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|knn_join|contam_embed|formats]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -222,6 +222,79 @@ object ScaleStudy {
         s""""state_rows_last":${stateRows.lastOption.getOrElse(0L)},""" +
         s""""state_mem_max_bytes":${if (stateMem.isEmpty) 0 else stateMem.max},""" +
         s""""sf":"$sfDir"}""")
+      return
+    }
+
+    // "formats": the ingest/egress surface measured head-to-head — the
+    // five oracled roundtrip formats (parquet / ORC / JSONL / CSV /
+    // Avro) at SPARK_GRAFT_FMT_REP × the events table (default ×10 =
+    // 1 M rows at sf0.1), timing WRITE and READ+AGGREGATE separately
+    // with the exact option sets the oracled roundtrips use (explicit
+    // schemas, micros timestampFormat for CSV). The claims under
+    // measurement: columnar formats aggregate faster than row/text
+    // formats (pruning + encoding), Avro's sync-marker splits keep its
+    // read parallel like the others, and text formats pay their
+    // serialization tax on BOTH sides.
+    if (study == "formats") {
+      import org.apache.spark.sql.functions._
+      val rep = sys.env.get("SPARK_GRAFT_FMT_REP").map(_.toInt).getOrElse(10)
+      val base0 = graft.sources.Tables(spark, sfDir).events
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val ev = (0 until rep).map(i => base0
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 32} DAYS")))
+        .reduce(_.unionAll(_))
+        .repartition(32)
+        .persist()
+      val nRows = ev.count()
+      val fmtCsv = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      def fresh(tag: String): String = java.nio.file.Files
+        .createTempDirectory(s"graft_fmt_${tag}_").toString
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def agg(df: org.apache.spark.sql.DataFrame): Unit = df
+        .groupBy("event_type")
+        .agg(count(lit(1)), sum(round(col("value") * 100).cast("long")),
+          max(col("ts")), sum(length(col("props"))))
+        .write.format("noop").mode("overwrite").save()
+      val results = Seq(
+        ("parquet",
+          (d: String) => ev.write.mode("overwrite").parquet(d),
+          (d: String) => agg(spark.read.parquet(d))),
+        ("orc",
+          (d: String) => ev.write.mode("overwrite").orc(d),
+          (d: String) => agg(spark.read.orc(d))),
+        ("jsonl",
+          (d: String) => ev.write.mode("overwrite").json(d),
+          (d: String) => agg(spark.read.schema(schema).json(d))),
+        ("csv",
+          (d: String) => ev.write.mode("overwrite")
+            .option("header", "true").option("timestampFormat", fmtCsv).csv(d),
+          (d: String) => agg(spark.read.schema(schema)
+            .option("header", "true").option("timestampFormat", fmtCsv).csv(d))),
+        ("avro",
+          (d: String) => graft.sources.AvroIO.write(ev, d),
+          (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema)))
+      ).map { case (name, w, r) =>
+        val d0 = fresh(name); w(d0); r(d0) // warm-up, untimed
+        val samples = (1 to passes).map { _ =>
+          val d = fresh(name)
+          val tw = timed(w(d))
+          val tr = timed(r(d))
+          (tw, tr)
+        }
+        val bytes = new java.io.File(d0).listFiles()
+          .filter(_.isFile).map(_.length).sum
+        s""""$name":{"write_sec":${samples.map(_._1).min},""" +
+          s""""read_agg_sec":${samples.map(_._2).min},""" +
+          s""""bytes":$bytes}"""
+      }
+      spark.stop()
+      println(s"""{"metric":"format_throughput","rows":$nRows,"rep":$rep,""" +
+        results.mkString("", ",", ",") + s""""sf":"$sfDir"}""")
       return
     }
 
@@ -421,7 +494,7 @@ object ScaleStudy {
       case other =>
         sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
           "semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|" +
-          "r7ops2|lenctl|streaming|knn_join|contam_embed)")
+          "r7ops2|lenctl|streaming|knn_join|contam_embed|formats)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

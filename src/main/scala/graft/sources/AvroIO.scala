@@ -136,6 +136,16 @@ object AvroIO {
         } finally writer.close()
       }
     }
+    // an all-empty frame wrote no files; stage one schema-only
+    // container so the layout stays readable (an empty glob would
+    // otherwise fail the read — same contract as parquet's empty
+    // part file)
+    if (fs.globStatus(new Path(dirPath, "*.avro")).isEmpty) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val out = fs.create(new Path(dirPath, "part-empty.avro"), true)
+      val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      try writer.create(schema, out) finally writer.close()
+    }
   }
 
   /** Read the Avro files under `dir` into a DataFrame with the given

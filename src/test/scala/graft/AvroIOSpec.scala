@@ -97,6 +97,14 @@ class AvroIOSpec extends SparkSpec {
     assert(AvroIO.read(spark, dir, schema).count() === 7)
   }
 
+  test("an all-empty frame stays a readable layout (schema-only container)") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t6"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)
+    AvroIO.write(empty, dir)
+    assert(AvroIO.read(spark, dir, schema).count() === 0)
+  }
+
   test("schema resolution: a reader field missing from the writer fills its null default") {
     val dir = graft.core.TempDirs.create("avro_rt") + "/t5"
     val writerSchema = StructType(Seq(
