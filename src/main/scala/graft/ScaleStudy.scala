@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|knn_join|contam_embed|formats]
+  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|knn_join|knn_join_capped|contam_embed|formats]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -222,6 +222,71 @@ object ScaleStudy {
         s""""state_rows_last":${stateRows.lastOption.getOrElse(0L)},""" +
         s""""state_mem_max_bytes":${if (stateMem.isEmpty) 0 else stateMem.max},""" +
         s""""sf":"$sfDir"}""")
+      return
+    }
+
+    // "knn_join_capped": the SKEW-PROOF k-NN-join configuration —
+    // knnJoinCore with the KnnCandCap candidate sample on oversized
+    // cells (SPARK_GRAFT_KNN_CAND_CAP overrides; 0 = uncapped
+    // control). Reports wall time AND the two quality numbers the cap
+    // trades between: recall@3 vs exact brute force over the first
+    // 100 vectors (strict id match — drops by design on capped cells)
+    // and the COSINE RATIO (sum of returned neighbor cosines / sum of
+    // true top-3 cosines over the same queries — the k-NN-graph
+    // quality that holds when the cell is a tight cluster and any
+    // sample member is a good neighbor).
+    if (study == "knn_join_capped") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val emb0 = graft.core.FanOut(graft.sources.Tables(spark, sfDir).embeddings)
+      val vectors = emb0.select(col("vec_id"), col("embedding"))
+      val n = vectors.count()
+      val k = graft.queries.Similarity.kmeansCellsForN(n)
+      val probes = graft.queries.Similarity.KmeansProbes
+      val trainCap = graft.queries.Similarity.TrainSamplePerCell * k
+      val candCap0 = sys.env.get("SPARK_GRAFT_KNN_CAND_CAP").map(_.toInt)
+        .getOrElse(graft.queries.Similarity.KnnCandCap)
+      val candCap = if (candCap0 <= 0) None else Some(candCap0)
+      def tmp(): String = java.nio.file.Files
+        .createTempDirectory("graft_knncap_study_").toString
+      def run(): org.apache.spark.sql.DataFrame =
+        graft.queries.Similarity.knnJoinCore(vectors, tmp(), k,
+          graft.queries.Similarity.KmeansIters, probes, Some(trainCap), candCap)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        run().write.format("noop").mode("overwrite").save()
+        val el = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); el
+      }
+      once() // warm-up
+      val samples = (1 to passes).map(_ => once())
+      // quality pass over the first 100 vectors
+      val nq = 100
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.queries.Similarity.dotBuiltin(a, b)
+      val q = broadcast(vectors.where(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__m").desc, col("vec_id"))
+      val truth = vectors.select(col("vec_id"), col("embedding").as("ec"))
+        .crossJoin(q).where(col("query_id") =!= col("vec_id"))
+        .withColumn("__m", dot(col("eq"), col("ec")) /
+          (sqrt(dot(col("eq"), col("eq"))) * sqrt(dot(col("ec"), col("ec")))))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select(col("query_id"), col("vec_id"), col("__m").as("tcos"))
+        .persist()
+      val out = run().where(col("vec_id") < nq).persist()
+      val hits = out.select(col("vec_id").as("query_id"), col("nbr_id").as("vec_id"))
+        .join(truth, Seq("query_id", "vec_id")).count()
+      val recall = hits.toDouble / (3.0 * nq)
+      val retSum = out.agg(sum("cosine")).head().getDouble(0)
+      val truSum = truth.agg(sum("tcos")).head().getDouble(0)
+      spark.stop()
+      println(s"""{"metric":"sim_knn_join_capped","n":$n,"k":$k,""" +
+        s""""probes":$probes,"cand_cap":${candCap.getOrElse(0)},""" +
+        s""""samples":[${samples.mkString(",")}],"min":${samples.min},""" +
+        s""""recall3_at100":$recall,""" +
+        s""""cosine_ratio_at100":${retSum / truSum},"sf":"$sfDir"}""")
       return
     }
 
@@ -494,7 +559,7 @@ object ScaleStudy {
       case other =>
         sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
           "semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|" +
-          "r7ops2|lenctl|streaming|knn_join|contam_embed|formats)")
+          "r7ops2|lenctl|streaming|knn_join|knn_join_capped|contam_embed|formats)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -356,8 +356,26 @@ object Similarity extends QueryModule {
     * rule-resolved path ([[kmeansCellsForN]] / [[kmeansProbesForK]])
     * across decades.
     */
+  /** Candidate cap for the SKEW-PROOF k-NN-join configuration
+    * (ScaleStudy's `knn_join_capped`): a home cell over this size
+    * offers only its [[KnnCandCap]] smallest-md5-coin members as
+    * NEIGHBOR CANDIDATES (every vector still gets ranked output — the
+    * cap restricts the join's right side, not its left). The coin is
+    * similarity-oblivious, so the bound holds REGARDLESS of geometry —
+    * the same argument as [[Dedup.SemdedupCellCap]]'s md5 blocks; the
+    * semantic trade differs because top-k has no τ-witness: a capped
+    * cell returns near-neighbors drawn from a fixed random sample
+    * rather than the exact top-k, so ID-recall on oversized cells
+    * drops by design while COSINE quality barely moves on clustered
+    * data (tight clusters are mutually similar — any sample member is
+    * a good neighbor). Both numbers are measured, not asserted
+    * (BENCH_NOTES round-9 capped-join study).
+    */
+  private[graft] val KnnCandCap = 256
+
   private[graft] def knnJoinCore(vectors0: DataFrame, centDir: String, k: Int,
-      iters: Int, probes: Int, trainCap: Option[Int]): DataFrame = {
+      iters: Int, probes: Int, trainCap: Option[Int],
+      cellCap: Option[Int] = None): DataFrame = {
     val s = vectors0.sparkSession
     val e = vectors0.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -375,8 +393,37 @@ object Similarity extends QueryModule {
       .join(e, Seq("vec_id"))
       .select(col("cell"), col("vec_id"),
         col("embedding").as("ea"), col("norm").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+    val b0 = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
       col("embedding").as("eb"), col("norm").as("nb"))
+    val b = cellCap match {
+      case Some(cap) =>
+        // rank members within their cell by a similarity-oblivious
+        // coin; a cell is OVERSIZED — and sampled down to its `cap`
+        // smallest coins — only past 4× the MEAN cell population (the
+        // skew trigger): balanced corpora keep exact semantics
+        // everywhere and pay only the rank window (one cell-wise sort
+        // pass over n rows, no pair join), while a head cluster's
+        // candidates are bounded regardless of geometry. The measured
+        // trade (BENCH_NOTES round-9 capped-join study): on the
+        // clustered ×100 corpus this converts an un-runnable ≥10⁹-pair
+        // join into ~50 s at 0.98 of the true top-3 cosine mass; on a
+        // flat-capped isotropic corpus the same sample costs 0.85 of
+        // the cosine mass — which is exactly why the trigger is
+        // skew-relative, not absolute.
+        val counts = b0.groupBy("cell").agg(count(lit(1)).as("__cc"))
+        val stats = broadcast(counts
+          .agg((sum("__cc") / count(lit(1))).as("__mean")))
+        val coin = md5(concat(lit("graft-knn-cand|"),
+          col("nbr_id").cast("string")))
+        val w = Window.partitionBy("cell").orderBy(coin, col("nbr_id"))
+        b0.join(broadcast(counts), Seq("cell"))
+          .crossJoin(stats)
+          .withColumn("__crk", row_number().over(w))
+          .where(col("__cc") <= greatest(lit(cap), lit(4) * col("__mean"))
+            || col("__crk") <= cap)
+          .drop("__cc", "__crk", "__mean")
+      case None => b0
+    }
     val w = Window.partitionBy("vec_id").orderBy(col("cos_exact").desc, col("nbr_id"))
     a.join(b, Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
