@@ -60,6 +60,64 @@ class KnnJoinSpec extends SparkSpec {
     assert(rec >= 0.40, f"recall@$K collapsed: $rec%.3f")
   }
 
+  test("candidate cap: skew trigger fires only on the hot cell, exact elsewhere") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    // 15 tiny well-separated clusters (4 members each, axis-aligned)
+    // with one member at ids 0..14 so the deterministic id-ordered
+    // Lloyd init seeds every cluster, plus ONE hot cluster of 300 —
+    // far past the 4x-mean trigger (mean 22.5, trigger 90)
+    val dim = 16
+    def axis(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d == i) 10f else 0f)
+    val hotBase = Array.tabulate(dim)(d => if (d == 15) -10f else 0f)
+    val tinySeed = (0 until 15).map(c => Row(c.toLong, jitter(axis(c)).toSeq))
+    val hotSeed = Seq(Row(15L, jitter(hotBase).toSeq))
+    val tinyRest = (0 until 15).flatMap(c => (1 until 4).map(j =>
+      Row(100L + c * 10 + j, jitter(axis(c)).toSeq)))
+    val hotRest = (0 until 299).map(j => Row(1000L + j, jitter(hotBase).toSeq))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = spark.createDataFrame(spark.sparkContext.parallelize(
+      tinySeed ++ hotSeed ++ tinyRest ++ hotRest, 4), schema)
+    val cap = 16
+    def run(cellCap: Option[Int]) = Similarity.knnJoinCore(vecs,
+      graft.core.TempDirs.create("knncap") + "/m", k = 16, iters = 2,
+      probes = 1, trainCap = None, cellCap = cellCap).collect()
+    val capped = run(Some(cap))
+    val exact = run(None)
+    // every vector still gets output (the cap restricts candidates,
+    // never queries)
+    assert(capped.map(_.getLong(0)).distinct.length === 360,
+      s"queries lost: ${capped.map(_.getLong(0)).distinct.length}")
+    // hot-cluster ids = 15 +: 1000..1298; the candidate sample is the
+    // cap smallest (md5(graft-knn-cand|id), id) — replicated here
+    val hotIds = (Seq(15L) ++ (0 until 299).map(j => 1000L + j))
+    def coin(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"graft-knn-cand|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val sample = hotIds.sortBy(id => (coin(id), id)).take(cap).toSet
+    val hotSet = hotIds.toSet
+    val hotNbrs = capped.filter(r => hotSet(r.getLong(0))).map(_.getLong(2))
+    assert(hotNbrs.nonEmpty && hotNbrs.forall(sample),
+      s"hot-cell neighbors must come from the ${cap}-coin sample")
+    // tiny clusters sit below the trigger: their rows are EXACTLY the
+    // uncapped run's (semantics preserved where no skew exists)
+    def rowsOf(rs: Array[Row], ids: Set[Long]) = rs
+      .filter(r => ids(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val tinyIds = (0 until 15).flatMap(c =>
+      Seq(c.toLong) ++ (1 until 4).map(j => 100L + c * 10 + j)).toSet
+    assert(rowsOf(capped, tinyIds) === rowsOf(exact, tinyIds),
+      "small cells must keep exact top-k under the cap")
+  }
+
   test("plan: per-vector top-K truncates inside the window (WindowGroupLimit)") {
     val p = SparkEntry.queries("sim_knn_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
