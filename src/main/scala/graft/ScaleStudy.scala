@@ -332,9 +332,15 @@ object ScaleStudy {
         ("orc",
           (d: String) => ev.write.mode("overwrite").orc(d),
           (d: String) => agg(spark.read.orc(d))),
+        // explicit micros timestampFormat (like the CSV leg): Spark's
+        // default JSON format serializes millis, which would silently
+        // truncate the micros the events table carries — all five legs
+        // must round-trip the same values for the comparison to hold
         ("jsonl",
-          (d: String) => ev.write.mode("overwrite").json(d),
-          (d: String) => agg(spark.read.schema(schema).json(d))),
+          (d: String) => ev.write.mode("overwrite")
+            .option("timestampFormat", fmtCsv).json(d),
+          (d: String) => agg(spark.read.schema(schema)
+            .option("timestampFormat", fmtCsv).json(d))),
         ("csv",
           (d: String) => ev.write.mode("overwrite")
             .option("header", "true").option("timestampFormat", fmtCsv).csv(d),
@@ -342,7 +348,15 @@ object ScaleStudy {
             .option("header", "true").option("timestampFormat", fmtCsv).csv(d))),
         ("avro",
           (d: String) => graft.sources.AvroIO.write(ev, d),
-          (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema)))
+          (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema))),
+        // the projection-pushdown path: same files, reader schema
+        // pruned to the 4 columns the aggregate touches — writer-only
+        // fields ride Avro's resolution skip path instead of being
+        // materialized (read(…, columns) scaladoc has the mechanics)
+        ("avro_pruned",
+          (d: String) => graft.sources.AvroIO.write(ev, d),
+          (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema,
+            Seq("ts", "event_type", "value", "props"))))
       ).map { case (name, w, r) =>
         val d0 = fresh(name); w(d0); r(d0) // warm-up, untimed
         val samples = (1 to passes).map { _ =>

@@ -1560,12 +1560,32 @@ object Dedup extends QueryModule {
     * benchmark-SIZED (constant) while the train side grows, which is
     * the production shape this operator's zero-shuffle plan assumes.
     */
+  /** Hard ceiling on the eval-set row count [[contamEmbed]]'s
+    * single-broadcast-row plan accepts: past it the collect_list
+    * payload approaches the 2 GB single-row / broadcast limits and the
+    * zero-shuffle assumption the Scaladoc documents silently breaks.
+    * 65 536 rows × (d+2) doubles is ≈ 9 MB at the gate's d=16 and
+    * ≈ 400 MB at a production d=768 — the benchmark-suite regime this
+    * fast path is for. A corpus-sized eval must fail LOUDLY here and
+    * route to the banded-LSH candidate machinery ([[ddEmbedLsh]]).
+    */
+  private[graft] val ContamEmbedMaxEval = 65536L
+
   private[graft] def contamEmbed(emb: DataFrame, evalMod: Long): DataFrame = {
     val e = emb
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
       .withColumn("nrm", sqrt(expr("aggregate(emb, 0d, (a, x) -> a + x * x)")))
     val isEval = pmod(col("vec_id"), lit(evalMod)) === 0
+    // guard the benchmark-sized-eval assumption before building the
+    // one-row payload: one count over the (small by contract) eval
+    // side — negligible next to the train scan it protects
+    val nEval = e.where(isEval).count()
+    require(nEval <= ContamEmbedMaxEval,
+      s"dd_contam_embed: eval set has $nEval rows > $ContamEmbedMaxEval — " +
+        "the single-broadcast-row fast path is for benchmark-sized eval " +
+        "sets; use the banded-LSH candidate path (ddEmbedLsh) for a " +
+        "corpus-scale eval side")
     // the benchmark side: ONE row, an array of eval structs (sorted for
     // a deterministic broadcast payload; consumers are order-invariant)
     val evalArr = e.where(isEval)

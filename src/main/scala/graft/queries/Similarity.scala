@@ -403,13 +403,15 @@ object Similarity extends QueryModule {
         // skew trigger): balanced corpora keep exact semantics
         // everywhere and pay only the rank window (one cell-wise sort
         // pass over n rows, no pair join), while a head cluster's
-        // candidates are bounded regardless of geometry. The measured
-        // trade (BENCH_NOTES round-9 capped-join study): on the
-        // clustered ×100 corpus this converts an un-runnable ≥10⁹-pair
-        // join into ~50 s at 0.98 of the true top-3 cosine mass; on a
-        // flat-capped isotropic corpus the same sample costs 0.85 of
-        // the cosine mass — which is exactly why the trigger is
-        // skew-relative, not absolute.
+        // candidates are bounded regardless of geometry. Measured
+        // numbers (BENCH_NOTES round-9 capped-join study): the
+        // PRE-RULE flat cap — rejected precisely because it also
+        // fired on balanced cells — read 49.2 s at 0.984 cosine mass
+        // on clustered ×100 but cost isotropic ×100 0.849 of its
+        // cosine mass; THIS skew-relative rule's own run reads 89.8 s
+        // at 0.9955 cosine mass on clustered ×100 (the un-runnable
+        // ≥10⁹-pair case) while leaving isotropic ×100 bit-exact
+        // (55.1 s vs the uncapped 54.9 s — the trigger never fires).
         val counts = b0.groupBy("cell").agg(count(lit(1)).as("__cc"))
         val stats = broadcast(counts
           .agg((sum("__cc") / count(lit(1))).as("__mean")))

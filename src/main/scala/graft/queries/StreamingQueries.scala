@@ -710,9 +710,14 @@ object StreamingQueries extends QueryModule {
     }
     // the live-phase gate depends on wall-clock scheduling: phases 0–1
     // must BOTH process inside one TTL window or state expires mid-run
-    // and the gate fails as an opaque hash mismatch. Time the first
-    // drain (an upper bound on the phase-0→1 batch gap) and fail LOUD
-    // as a setup error if a loaded host ever blows the margin.
+    // and the gate fails as an opaque hash mismatch. This ONE drain
+    // processes BOTH phase files (maxFilesPerTrigger=1 → two batches
+    // off the already-admitted srcDir), so liveT0 — taken before the
+    // stream even starts — strictly precedes phase 0's first state
+    // WRITE, and liveMs is a TRUE upper bound on the oldest state age
+    // at phase 1's read (write happens after liveT0, read completes
+    // before the measurement). Fail LOUD as a setup error if a loaded
+    // host ever blows the margin.
     val liveT0 = System.nanoTime()
     drain(emissions(1))
     val liveMs = (System.nanoTime() - liveT0) / 1000000L

@@ -84,7 +84,19 @@ object AvroIO {
     case null                      => null
     case t: java.sql.Timestamp     =>
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // with spark.sql.datetime.java8API.enabled=true Row.get hands back
+    // java.time.Instant for TimestampType — same timestamp-micros
+    // encoding (nanos already carry the sub-second part, [0, 1e9))
+    case i: java.time.Instant      =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     case b: Array[Byte]            => ByteBuffer.wrap(b)
+    // fail HERE with the runtime class, not deep inside Avro's union
+    // writer: schema mapping already vetted the DataFrame types, so a
+    // surprise can only be an external-type variant (e.g. LocalDate)
+    // this bridge does not handle yet
+    case d @ (_: java.time.LocalDate | _: java.sql.Date) =>
+      throw new IllegalArgumentException(
+        s"AvroIO: unsupported runtime value type ${d.getClass.getName}")
     case other                     => other
   }
 
@@ -105,6 +117,12 @@ object AvroIO {
     * governed the same way as parquet sinks — by the partitioning of
     * the incoming frame; the read side does not care (sync-marker
     * splits decouple scan parallelism from file layout).
+    *
+    * Commit discipline: each task writes an attempt-unique dot-temp
+    * and renames it to its final `part-NNNNN.avro` name only after a
+    * clean close, so failed or speculative attempts never surface as
+    * readable data files (the rename-on-success contract every Hadoop
+    * output committer provides; first attempt to rename wins).
     */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = avroSchemaFor(df.schema).toString
@@ -118,12 +136,22 @@ object AvroIO {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = TaskContext.getPartitionId()
-        val path = new Path(dir, f"part-$pid%05d.avro")
-        val out = path.getFileSystem(confSer.value).create(path, true)
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        // task-commit protocol: write to an attempt-unique DOT-file
+        // (invisible to the read glob and to Hadoop input listings),
+        // rename to the final name only on a complete, closed
+        // container. A speculative duplicate or a task that dies
+        // mid-write can therefore never leave a half-written file
+        // where a later read would treat it as data; on a rename race
+        // the first committer wins and the loser discards its temp.
+        val tmp = new Path(dir, f".part-$pid%05d-${tc.taskAttemptId()}.avro.tmp")
+        val dst = new Path(dir, f"part-$pid%05d.avro")
+        val taskFs = tmp.getFileSystem(confSer.value)
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        var committed = false
         try {
-          writer.create(schema, out)
+          writer.create(schema, taskFs.create(tmp, true))
           it.foreach { row =>
             val rec = new GenericData.Record(schema)
             var i = 0
@@ -133,7 +161,14 @@ object AvroIO {
             }
             writer.append(rec)
           }
-        } finally writer.close()
+          writer.close()
+          committed = taskFs.rename(tmp, dst)
+        } finally {
+          if (!committed) {
+            try writer.close() catch { case _: Throwable => }
+            taskFs.delete(tmp, false)
+          }
+        }
       }
     }
     // an all-empty frame wrote no files; stage one schema-only
@@ -146,6 +181,27 @@ object AvroIO {
       val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       try writer.create(schema, out) finally writer.close()
     }
+  }
+
+  /** Column-pruned read: resolves only `columns` out of files whose
+    * writer schema is (a superset of) `full`. This is what projection
+    * pushdown means for a row format: Avro's schema resolution matches
+    * reader fields to writer fields BY NAME and drives every
+    * writer-only field through the decoder's skip path — lengths are
+    * read, payload bytes are stepped over, and no Java object is ever
+    * materialized for an unprojected column. Bytes still stream off
+    * disk (rows are contiguous — the structural gap vs columnar
+    * formats), but decode cost and row width now track the projection,
+    * which is most of a projection-light aggregate's Avro tax (the
+    * round-9 formats study measured the unpruned read at 1.5× parquet
+    * on a 4-of-6-column aggregate; the `formats` study's avro leg now
+    * reads through this path).
+    */
+  def read(s: SparkSession, dir: String, full: StructType,
+      columns: Seq[String]): DataFrame = {
+    val missing = columns.filterNot(c => full.fieldNames.contains(c))
+    require(missing.isEmpty, s"AvroIO: projected columns $missing not in schema")
+    read(s, dir, StructType(columns.map(full(_))))
   }
 
   /** Read the Avro files under `dir` into a DataFrame with the given

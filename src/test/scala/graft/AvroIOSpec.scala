@@ -125,6 +125,42 @@ class AvroIOSpec extends SparkSpec {
     assert(got === Set((1L, null, "a"), (2L, null, null)))
   }
 
+  test("column projection: pruned read returns exactly the full read's projection") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t7"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtureRows, 2), schema)
+    AvroIO.write(df, dir)
+    // prune to a non-prefix, reordered subset: resolution is by NAME,
+    // so the projected frame must carry the requested order and the
+    // full read's values, with writer-only fields decoder-skipped
+    val cols = Seq("ts", "id", "s")
+    val pruned = AvroIO.read(spark, dir, schema, cols)
+    assert(pruned.schema.fieldNames.toSeq === cols)
+    val got = pruned.collect().map(r => (r.get(1), r.get(0), r.get(2))).toSet
+    val want = AvroIO.read(spark, dir, schema)
+      .selectExpr("id", "ts", "s").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(got === want)
+    // a column outside the full schema fails loudly, not at decode time
+    val err = intercept[IllegalArgumentException] {
+      AvroIO.read(spark, dir, schema, Seq("id", "nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
+  test("no temp files survive a committed write") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t8"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtureRows, 3), schema)
+    AvroIO.write(df, dir)
+    // local fs adds .crc checksum sidecars (renamed with their file);
+    // what must NOT survive is any attempt-temp container
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filterNot(_.endsWith(".crc"))
+    assert(names.nonEmpty && names.forall(n =>
+      n.matches("part-\\d{5}\\.avro")), s"unexpected files: $names")
+  }
+
   test("schema mapping: nullable fields become union(null, T), micros logical type") {
     val av = AvroIO.avroSchemaFor(schema)
     import org.apache.avro.Schema
