@@ -350,6 +350,59 @@ object Similarity extends QueryModule {
       KnnCentroidDir, KmeansK, KmeansIters,
       KmeansProbes, Some(TrainSamplePerCell * KmeansK))
 
+  /** Model sink for [[simKnnJoinCapped]] — same persistence contract
+    * as [[KnnCentroidDir]].
+    */
+  private[graft] lazy val KnnCappedCentroidDir = java.nio.file.Files
+    .createTempDirectory("graft_knncap_centroids_").toString
+
+  /** Id offset for the capped gate's engineered clones — far above
+    * every corpus vec_id, so clone ids never collide with real ones.
+    */
+  private[graft] val KnnCloneIdOffset = 1000000L
+
+  /** The CAPPED k-NN join under the hash gate — the skew discipline
+    * that makes [[simKnnJoin]] production-shaped ([[KnnCandCap]]
+    * sample on cells past the 4×-mean trigger), promoted from a
+    * ScaleStudy-only measurement to an oracled query, the same
+    * treatment [[Dedup.ddSemdedupCapped]] gave SemDeDup's cell cap.
+    *
+    * The gate corpus is near-balanced (16 trained cells over 500
+    * vectors — no cell approaches 4× the mean), so on the raw table
+    * the trigger is structurally vacuous. The query therefore joins
+    * the corpus with an ENGINEERED head cluster the oracle replays
+    * verbatim: one clone of vector 0's embedding per corpus row
+    * (clone ids offset by [[KnnCloneIdOffset]]), which lands every
+    * clone in a single cell of ≥ n members against a corpus-wide mean
+    * of 2n/k — the trigger fires at EVERY scale factor (n > 4·(2n/16)
+    * = n/2), and the md5-coin sample is non-vacuously active at the
+    * gate (cell ≈ 530 vs cap [[KnnCandCap]] = 256: half the head
+    * cell's candidates are blocked). Balanced cells stay exact — the
+    * skew-relative semantics, pinned here rather than only in
+    * KnnJoinSpec's fixture.
+    *
+    * The DuckDB oracle replays the WHOLE discipline: clone
+    * derivation, argmin assignment over the persisted centroids,
+    * per-cell counts → mean → the `greatest(cap, 4·mean)` trigger →
+    * the md5-coin rank sample → the probe-side join and per-vector
+    * (cosine desc, nbr_id) top-[[KnnJoinK]]. A candidate kept past
+    * the cap, a coin ranked differently, or a mean computed over the
+    * wrong cell set all hash-fail.
+    */
+  def simKnnJoinCapped(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.FanOut(Tables(s, dir).embeddings)
+      .select(col("vec_id"), col("embedding"))
+    val seed = base.where(col("vec_id") === 0)
+      .select(col("embedding").as("__clone"))
+    val clones = base
+      .select((col("vec_id") + lit(KnnCloneIdOffset)).as("vec_id"))
+      .crossJoin(broadcast(seed)) // 1-row fixture payload
+      .select(col("vec_id"), col("__clone").as("embedding"))
+    knnJoinCore(base.unionByName(clones), KnnCappedCentroidDir,
+      KmeansK, KmeansIters, KmeansProbes,
+      Some(TrainSamplePerCell * KmeansK), cellCap = Some(KnnCandCap))
+  }
+
   /** Core of [[simKnnJoin]], parameterized on the (vec_id, embedding)
     * vector set, the centroid sink, and the (k, probes, trainCap)
     * operating point — ScaleStudy's `knn_join` mode measures the
@@ -525,6 +578,7 @@ object Similarity extends QueryModule {
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_kmeans_ivf_sampled" -> (simKmeansIvfSampled _),
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_knn_join_capped" -> (simKnnJoinCapped _),
     "sim_int8_topk" -> (simInt8Topk _),
     "sim_pq" -> (simPq _),
     "sim_ivfpq" -> (IvfPq.simIvfPq _),
@@ -653,6 +707,60 @@ object Similarity extends QueryModule {
          |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
          |        * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_exact
          |  FROM probe a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id, cos_exact,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_exact DESC, nbr_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT vec_id, rank, nbr_id, round(cos_exact, 6) AS cosine
+         |FROM ranked WHERE rank <= $KnnJoinK ORDER BY vec_id, rank""".stripMargin,
+    // the CAPPED k-NN-join replay: the engineered-clone corpus, the
+    // same argmin assignment over the persisted (capped-run) model,
+    // then counts → mean → the greatest(cap, 4·mean) trigger → the
+    // md5-coin rank sample on the candidate side → the probe-side
+    // join and per-vector rank. The cap arithmetic is deterministic
+    // SQL end to end, so the production keep/drop rule itself is
+    // under the hash — not just the spec fixture.
+    "sim_knn_join_capped" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT e.vec_id + $KnnCloneIdOffset AS vec_id, s0.embedding
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) s0),
+         |cent AS (
+         |  SELECT cid, centroid
+         |  FROM read_parquet('$KnnCappedCentroidDir/*.parquet')),
+         |d AS (
+         |  SELECT v.vec_id, v.embedding, cent.cid,
+         |    ${dotSql("embedding", "embedding")}
+         |      - 2.0 * ${dotSql("embedding", "centroid")}
+         |      + ${dotSql("centroid", "centroid")} AS d2
+         |  FROM vecs v CROSS JOIN cent),
+         |rk AS (
+         |  SELECT vec_id, embedding, cid AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crank
+         |  FROM d),
+         |probe AS (SELECT vec_id, embedding, cell FROM rk
+         |  WHERE crank <= $KmeansProbes),
+         |asg AS (SELECT vec_id, embedding, cell FROM rk WHERE crank = 1),
+         |cc AS (SELECT cell, count(*) AS cc FROM asg GROUP BY cell),
+         |mstat AS (SELECT sum(cc)::DOUBLE / count(*) AS mean FROM cc),
+         |crk AS (
+         |  SELECT a.cell, a.vec_id, a.embedding, c.cc,
+         |    row_number() OVER (PARTITION BY a.cell
+         |      ORDER BY md5('graft-knn-cand|' || CAST(a.vec_id AS VARCHAR)),
+         |        a.vec_id) AS crk
+         |  FROM asg a JOIN cc c USING (cell)),
+         |cand AS (
+         |  SELECT cell, vec_id, embedding FROM crk, mstat
+         |  WHERE cc <= greatest($KnnCandCap, 4 * mean) OR crk <= $KnnCandCap),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${dotSql("a.embedding", "b.embedding")}
+         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |        * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_exact
+         |  FROM probe a JOIN cand b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT vec_id, nbr_id, cos_exact,
          |    CAST(row_number() OVER (PARTITION BY vec_id

@@ -124,4 +124,50 @@ class KnnJoinSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"rank filter must push into the window as a group limit:\n$p")
   }
+
+  test("gated capped join: trigger fires non-vacuously and hot-cell " +
+      "neighbors come from the coin sample") {
+    val cap = 256 // KnnCandCap — the production constant the gate pins
+    val out = SparkEntry.queries("sim_knn_join_capped")(spark, sfDir).collect()
+    // every vector — corpus AND clones — still gets ranked output
+    assert(out.map(_.getLong(0)).distinct.length === 1000,
+      s"queries lost: ${out.map(_.getLong(0)).distinct.length}")
+    // re-derive assignment over the model the query persisted: the
+    // engineered head cell must actually clear the 4x-mean trigger at
+    // gate scale (an inactive cap would hash-match vacuously)
+    val base = graft.sources.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val seed = base.where(col("vec_id") === 0)
+      .select(col("embedding").as("__c"))
+    val vecs = base.unionByName(base
+      .select((col("vec_id") + Similarity.KnnCloneIdOffset).as("vec_id"))
+      .crossJoin(seed).select(col("vec_id"), col("__c").as("embedding")))
+    val cent = spark.read.parquet(Similarity.KnnCappedCentroidDir)
+    val counts = graft.queries.KmeansIvf.assignCells(vecs, cent)
+      .groupBy("cell").agg(count(lit(1)).as("cc")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = counts.values.sum.toDouble / counts.size
+    val (hotCell, hotCc) = counts.maxBy(_._2)
+    assert(hotCc > math.max(cap.toDouble, 4 * mean),
+      s"trigger vacuous: max cell $hotCc vs mean $mean (cap $cap)")
+    // independent JVM replay of the md5 coin: hot-cell members ranked
+    // by (md5(graft-knn-cand|id), id), sample = cap smallest; every
+    // reported neighbor living in the hot cell must be in the sample
+    def coin(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"graft-knn-cand|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val members = graft.queries.KmeansIvf.assignCells(vecs, cent)
+      .where(col("cell") === hotCell).select("vec_id").collect()
+      .map(_.getLong(0))
+    val sample = members.sortBy(id => (coin(id), id)).take(cap).toSet
+    val memberSet = members.toSet
+    val hotNbrs = out.map(_.getLong(2)).filter(memberSet)
+    assert(hotNbrs.nonEmpty && hotNbrs.forall(sample),
+      "a hot-cell neighbor escaped the coin sample")
+    // and the sample is a strict subset: the cap genuinely blocked
+    assert(memberSet.size > sample.size,
+      s"cap inactive: ${memberSet.size} members <= cap $cap")
+  }
 }
