@@ -1315,7 +1315,14 @@ object Relational extends QueryModule {
     * arithmetic cannot drift.
     */
   private[graft] def zExprSql(a: String, b: String): String =
-    (0 until ZBits).flatMap(i => Seq(
+    zExprSqlBits(ZBits, a, b)
+
+  /** [[zExprSql]] at an explicit per-dimension bit width — the sampled
+    * histogram variant interleaves [[ZHistBits]]-bit bucket ids, the
+    * raw/rank variants the full [[ZBits]].
+    */
+  private[graft] def zExprSqlBits(bits: Int, a: String, b: String): String =
+    (0 until bits).flatMap(i => Seq(
       s"((($a >> $i) & 1) << ${2 * i})",
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
@@ -1394,6 +1401,105 @@ object Relational extends QueryModule {
         guarded(col("pr")).as("pr"), guarded(col("sr")).as("sr"))
       .withColumn("z", expr(zExprSql("pr", "sr")).cast("long"))
       .withColumn("zbucket", shiftright(col("z"), 2 * ZBits - 4).cast("int"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("z").as("z_min"), max("z").as("z_max"),
+        min("l_partkey").as("part_min"), max("l_partkey").as("part_max"),
+        min("l_suppkey").as("supp_min"), max("l_suppkey").as("supp_max"))
+      .orderBy("zbucket")
+  }
+
+  /** Deterministic-sample size for [[q54ZorderSampled]]'s boundary
+    * estimation — CONSTANT in n (the whole point: every window in the
+    * sampled path runs over at most this many rows, however large the
+    * fact table), and 16 sample points per histogram bucket at
+    * [[ZHistBuckets]] = 64, the classic range-partitioner margin.
+    */
+  private[graft] val ZSampleSize = 1024
+
+  /** Histogram buckets per dimension (and the matching id bit width)
+    * for the sampled Z-order: 64 × 64 = 4 096 z-cells, top nibble →
+    * the same 16-bucket manifest as the exact variants.
+    */
+  private[graft] val ZHistBuckets = 64
+  private[graft] val ZHistBits = 6
+
+  /** Z-ORDER over RANGE-SAMPLED HISTOGRAM BOUNDARIES — the corpus-
+    * scale layer [[q54ZorderRank]]'s Scaladoc names: dense_rank is
+    * exact but runs a window over each key's full DISTINCT table,
+    * which is corpus-sized for a high-cardinality key (l_orderkey-
+    * like). Production Z-order writers (Delta/Iceberg OPTIMIZE,
+    * Spark's own RangePartitioner) instead estimate per-dimension
+    * range boundaries from a SAMPLE and bucket rows by boundary
+    * lookup:
+    *
+    *   - sample: the [[ZSampleSize]] smallest md5 coins over the
+    *     fact table's unique key (TakeOrdered — one scan + per-
+    *     partition top-S, no global sort, partition-independent);
+    *   - boundaries: within the sample, each dimension's values are
+    *     ranked and cut into [[ZHistBuckets]] equal-frequency
+    *     buckets; bucket minima, DEDUPLICATED and re-ranked, become
+    *     the half-open range table [lo_i, lo_i+1) — ≤ 64 rows per
+    *     dimension, broadcast;
+    *   - bucket id: one broadcast range join per dimension (the
+    *     BroadcastNestedLoopJoin is n × ≤64 comparisons — the SQL
+    *     replayable form of the binary search a partitioner does);
+    *     ids are < 2^[[ZHistBits]] BY CONSTRUCTION, interleave via
+    *     the shared [[zExprSqlBits]] text, top nibble → the same
+    *     16-bucket manifest as q54/q54_rank over the RAW key spans.
+    *
+    * Every window here runs over the 1024-row sample or the ≤64-row
+    * boundary table — sample-sized regardless of n, which is exactly
+    * the scaling argument the rank variant's global window lacks (the
+    * rank form stays in-tree as the exact control). Equal-frequency
+    * (not equal-width) buckets make the z-cells population-balanced
+    * under ANY key distribution — skewed keys get narrow ranges, the
+    * property that keeps file sizes level at 100 TB.
+    */
+  def q54ZorderSampled(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val coin = md5(concat(lit("graft-zsample|"),
+      col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string")))
+    val sample = li
+      .orderBy(coin, col("l_orderkey"), col("l_linenumber"))
+      .limit(ZSampleSize)
+    // equal-frequency boundary table for one dimension: rank the
+    // sample, cut into buckets by integer division (exact in both
+    // engines), take bucket minima, dedup, re-rank, half-open ranges
+    def bounds(key: String): DataFrame = {
+      val wOrd = Window.orderBy(col(key), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy()
+      val cut = sample
+        .select(col(key).as("v"),
+          (row_number().over(wOrd) - 1).cast("long").as("rn0"),
+          count(lit(1)).over(wAll).as("cnt"))
+        .select(col("v"), expr(s"(rn0 * $ZHistBuckets) div cnt").as("b"))
+        .groupBy("b").agg(min("v").as("lo"))
+        .select("lo").distinct()
+      val wB = Window.orderBy(col("lo"))
+      cut.select(col("lo"),
+        (row_number().over(wB) - 1).cast("long").as("bid"),
+        lead(col("lo"), 1).over(wB).as("hi"))
+    }
+    def bucketed(fact: DataFrame, key: String, b: DataFrame,
+        bidName: String): DataFrame = {
+      val bb = broadcast(b
+        .select(col("lo"), col("bid").as(bidName), col("hi")))
+      fact.join(bb,
+          (col(bidName) === 0 || col(key) >= col("lo")) &&
+            (col("hi").isNull || col(key) < col("hi")))
+        .drop("lo", "hi")
+    }
+    val withBids = bucketed(
+      bucketed(li.select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", bounds("l_partkey"), "pbid"),
+      "l_suppkey", bounds("l_suppkey"), "sbid")
+    withBids
+      .withColumn("z", expr(zExprSqlBits(ZHistBits, "pbid", "sbid")).cast("long"))
+      .withColumn("zbucket", shiftright(col("z"), 2 * ZHistBits - 4).cast("int"))
       .groupBy("zbucket")
       .agg(count(lit(1)).as("n_rows"),
         min("z").as("z_min"), max("z").as("z_max"),
@@ -1761,6 +1867,7 @@ object Relational extends QueryModule {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_zorder" -> (q54Zorder _),
     "q54_zorder_rank" -> (q54ZorderRank _),
+    "q54_zorder_sampled" -> (q54ZorderSampled _),
     "q61_merge_broadcast" -> (q61MergeBroadcast _),
     "q62_merge_compacted" -> (q62MergeCompacted _),
     "q63_avro_roundtrip" -> (q63AvroRoundtrip _),
@@ -1959,6 +2066,62 @@ object Relational extends QueryModule {
          |  JOIN pk ON l.l_partkey = pk.l_partkey
          |  JOIN sk ON l.l_suppkey = sk.l_suppkey),
          |zb AS (SELECT *, CAST(z >> ${2 * ZBits - 4} AS INTEGER) AS zbucket FROM z0)
+         |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+         |  min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+         |FROM zb GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    // sampled-boundary twin: the identical deterministic sample (md5
+    // coin TopS), equal-frequency bucket minima deduped into half-open
+    // ranges, range-join bucket ids, 6-bit interleave (shared text) —
+    // a drifted boundary, a mis-bucketed row, or a wrong dedup all
+    // hash-fail on the raw-key spans
+    "q54_zorder_sampled" ->
+      s"""WITH smp AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |  FROM lineitem
+         |  ORDER BY md5('graft-zsample|' || CAST(l_orderkey AS VARCHAR)
+         |    || '|' || CAST(l_linenumber AS VARCHAR)), l_orderkey, l_linenumber
+         |  LIMIT $ZSampleSize),
+         |pr AS (
+         |  SELECT l_partkey AS v,
+         |    row_number() OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+         |      - 1 AS rn0,
+         |    count(*) OVER () AS cnt
+         |  FROM smp),
+         |pcut AS (SELECT DISTINCT lo FROM (
+         |  SELECT (rn0 * $ZHistBuckets) // cnt AS b, min(v) AS lo
+         |  FROM pr GROUP BY 1)),
+         |pb AS (
+         |  SELECT lo, row_number() OVER (ORDER BY lo) - 1 AS pbid,
+         |    lead(lo) OVER (ORDER BY lo) AS hi
+         |  FROM pcut),
+         |sr AS (
+         |  SELECT l_suppkey AS v,
+         |    row_number() OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber)
+         |      - 1 AS rn0,
+         |    count(*) OVER () AS cnt
+         |  FROM smp),
+         |scut AS (SELECT DISTINCT lo FROM (
+         |  SELECT (rn0 * $ZHistBuckets) // cnt AS b, min(v) AS lo
+         |  FROM sr GROUP BY 1)),
+         |sb AS (
+         |  SELECT lo, row_number() OVER (ORDER BY lo) - 1 AS sbid,
+         |    lead(lo) OVER (ORDER BY lo) AS hi
+         |  FROM scut),
+         |f AS (
+         |  SELECT l.l_partkey, l.l_suppkey, p.pbid, s.sbid
+         |  FROM lineitem l
+         |  JOIN pb p ON (p.pbid = 0 OR l.l_partkey >= p.lo)
+         |    AND (p.hi IS NULL OR l.l_partkey < p.hi)
+         |  JOIN sb s ON (s.sbid = 0 OR l.l_suppkey >= s.lo)
+         |    AND (s.hi IS NULL OR l.l_suppkey < s.hi)),
+         |z0 AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(${zExprSqlBits(ZHistBits, "pbid", "sbid")} AS BIGINT) AS z
+         |  FROM f),
+         |zb AS (SELECT *, CAST(z >> ${2 * ZHistBits - 4} AS INTEGER) AS zbucket
+         |  FROM z0)
          |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
          |  min(z) AS z_min, max(z) AS z_max,
          |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,

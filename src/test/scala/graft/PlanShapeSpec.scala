@@ -150,6 +150,32 @@ class PlanShapeSpec extends SparkSpec {
       s"the fact side must not shuffle for the rank joins:\n$p")
   }
 
+  test("q54_zorder_sampled: boundary tables broadcast-range-join, every row " +
+      "bucketed exactly once") {
+    val p = plan("q54_zorder_sampled")
+    // the non-equi range lookup must be a broadcast nested-loop against
+    // the <=64-row boundary tables — never a shuffled or cartesian join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"both boundary tables must broadcast-range-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no unbroadcast join may appear:\n$p")
+    // half-open dedup'd boundaries partition the key line: the manifest
+    // must cover the fact table exactly once (a double or zero match
+    // would break this count, independently of the oracle's hash)
+    import org.apache.spark.sql.functions.sum
+    val out = graft.queries.Relational.q54ZorderSampled(spark, sfDir)
+    val total = out.agg(sum("n_rows")).collect()(0).getLong(0)
+    val facts = graft.sources.Tables(spark, sfDir).lineitem.count()
+    assert(total === facts, s"bucket coverage broke: $total != $facts")
+    // bucket ids stay inside the ZHistBits domain by construction
+    val rows = out.collect()
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16),
+      "zbucket outside the 4-bit manifest domain")
+    assert(rows.forall(r => r.getLong(2) >= 0 &&
+      r.getLong(3) < (1L << (2 * graft.queries.Relational.ZHistBits))),
+      "z outside the 12-bit interleave domain")
+  }
+
   test("q59_keyset_page: cursor predicate pushed to the scan, page is a TakeOrdered") {
     val p = plan("q59_keyset_page")
     assert(p.contains("TakeOrderedAndProject"),
