@@ -1608,8 +1608,57 @@ object Dedup extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Eval-membership modulus for [[ddContamBoth]] — BOTH screens hold
+    * out the same benchmark set ([[ddContam]]'s `doc_id % 10 == 0`
+    * rule; documents and embeddings share the id domain), because
+    * that is what composing the screens MEANS: one held-out suite,
+    * two detection channels over it.
+    */
+  private[graft] val ContamBothEvalMod = 10L
+
+  /** COMPOSED decontamination — the manifest frontier hygiene actually
+    * ships: [[ddContam]]'s lexical 3-gram screen and [[ddContamEmbed]]'s
+    * embedding-cosine screen run against the SAME held-out set
+    * ([[ContamBothEvalMod]]), and every train doc flagged by EITHER
+    * lands here once with per-screen attribution — which screen fired
+    * (`lex_hit`/`sem_hit`), the lexical hit counts/ratio, and the
+    * closest semantic eval neighbor. The two screens are complements
+    * by construction (the embed Scaladoc's framing): verbatim overlap
+    * that embeddings may smooth over vs paraphrase that shares no
+    * shingle — the union with attribution is what a removal/audit
+    * pass consumes.
+    *
+    * Scale shape: both derivations are reused VERBATIM (the shingle
+    * screen's distinct-collapsed test join; the embed screen's one
+    * broadcast eval row + in-row folds), and the composition joins
+    * two HIT-sized frames (contaminated train docs only — orders of
+    * magnitude below corpus size) on doc_id. Sentinels, not nulls,
+    * fill the absent screen's columns (-1 eval id, 0 counts/ratios);
+    * the booleans carry the semantics.
+    */
+  def ddContamBoth(s: SparkSession, dir: String): DataFrame = {
+    val lex = contam(shingled(s, dir), broadcastTest = false)
+      .select(col("doc_id"), col("n_hit").as("n_lex_hits"),
+        col("contam_ratio").as("lex_ratio"))
+    val sem = contamEmbed(Tables(s, dir).embeddings, ContamBothEvalMod)
+      .select(col("vec_id").as("doc_id"), col("eval_id").as("sem_eval_id"),
+        col("cosine").as("sem_cosine"), col("n_hits").as("n_sem_hits"))
+    lex.withColumn("__lex", lit(true))
+      .join(sem.withColumn("__sem", lit(true)), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("__lex"), lit(false)).as("lex_hit"),
+        coalesce(col("__sem"), lit(false)).as("sem_hit"),
+        coalesce(col("n_lex_hits"), lit(0)).as("n_lex_hits"),
+        coalesce(col("lex_ratio"), lit(0.0)).as("lex_ratio"),
+        coalesce(col("sem_eval_id"), lit(-1L)).as("sem_eval_id"),
+        coalesce(col("sem_cosine"), lit(0.0)).as("sem_cosine"),
+        coalesce(col("n_sem_hits"), lit(0)).as("n_sem_hits"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_contam_embed" -> (ddContamEmbed _),
+    "dd_contam_both" -> (ddContamBoth _),
     "dd_keep_best" -> (ddKeepBest _),
     "dd_manifest" -> (ddManifest _),
     "dd_split" -> (ddSplit _),
@@ -1885,6 +1934,64 @@ object Dedup extends QueryModule {
          |  FROM h)
          |SELECT vec_id, eval_id, cosine, CAST(n_hits AS INTEGER) AS n_hits
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the composed manifest: BOTH screens' chains verbatim (lexical at
+    // its own mod, semantic re-pointed at the SAME held-out rule),
+    // full-outer on doc_id with sentinel fills — a doc flagged by one
+    // screen but missing from the union, a wrong attribution boolean,
+    // or a drifted sentinel all hash-fail
+    "dd_contam_both" ->
+      s"""$shingleCte, t AS (
+         |  SELECT DISTINCT unnest(list_distinct(sh)) AS shingle
+         |  FROM s WHERE doc_id % $ContamBothEvalMod = 0
+         |), tr AS (
+         |  SELECT doc_id, list_distinct(sh) AS shd
+         |  FROM s WHERE doc_id % $ContamBothEvalMod <> 0
+         |), p AS (
+         |  SELECT doc_id, unnest(shd) AS shingle FROM tr
+         |), h AS (
+         |  SELECT p.doc_id, count(*) AS n_hit
+         |  FROM p JOIN t USING (shingle) GROUP BY p.doc_id
+         |), lex AS (
+         |  SELECT h.doc_id, CAST(h.n_hit AS INTEGER) AS n_lex_hits,
+         |    round(h.n_hit::DOUBLE / len(tr.shd), 6) AS lex_ratio
+         |  FROM h JOIN tr ON tr.doc_id = h.doc_id
+         |), e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${embDotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS eemb, nrm AS enrm
+         |  FROM e WHERE vec_id % $ContamBothEvalMod = 0
+         |), ce AS (
+         |  SELECT vec_id, embedding, nrm
+         |  FROM e WHERE vec_id % $ContamBothEvalMod <> 0
+         |), pe AS (
+         |  SELECT ce.vec_id, ev.eval_id,
+         |    round(${embDotSql("ce.embedding", "ev.eemb")}
+         |      / (ce.nrm * ev.enrm), 6) AS cosine
+         |  FROM ce, ev
+         |), he AS (
+         |  SELECT vec_id, eval_id, cosine FROM pe WHERE cosine >= $ContamEmbedTau
+         |), re AS (
+         |  SELECT vec_id, eval_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, eval_id) AS rn,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_hits
+         |  FROM he
+         |), sem AS (
+         |  SELECT vec_id AS doc_id, eval_id, cosine,
+         |    CAST(n_hits AS INTEGER) AS n_sem_hits
+         |  FROM re WHERE rn = 1)
+         |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |  lex.doc_id IS NOT NULL AS lex_hit,
+         |  sem.doc_id IS NOT NULL AS sem_hit,
+         |  coalesce(n_lex_hits, 0) AS n_lex_hits,
+         |  coalesce(lex_ratio, 0.0) AS lex_ratio,
+         |  CAST(coalesce(eval_id, -1) AS BIGINT) AS sem_eval_id,
+         |  coalesce(cosine, 0.0) AS sem_cosine,
+         |  coalesce(n_sem_hits, 0) AS n_sem_hits
+         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         |ORDER BY 1""".stripMargin,
     "dd_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
