@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|knn_join|knn_join_capped|contam_embed|formats]
+  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|annroute|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|stream_shapes|knn_join|knn_join_capped|contam_embed|formats]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -225,6 +225,102 @@ object ScaleStudy {
       return
     }
 
+    // "stream_shapes": sustained throughput + state boundedness for
+    // the two state shapes that actually outgrow executor heap at
+    // 100 TB/day — the stream-stream JOIN's two-sided band state
+    // (st_join's shape: both sides keyed by (join key, event time),
+    // evicted against the query-global watermark) and the DEDUP
+    // horizon's keyspace state (st_dedup's shape:
+    // dropDuplicatesWithinWatermark). The round-9 throughput study
+    // covered only the windowed aggregate; these are the stores whose
+    // own Scaladocs make the RocksDB argument. Same chunked-source
+    // discipline: rep copies of the events table, each +32 days, one
+    // file per trigger — event time advances chunk to chunk, so a
+    // WATERMARK-GOVERNED store holds ~one chunk's keys at any batch
+    // (state_rows flat in rep), while an unbounded store would grow
+    // linearly. RocksDB provider, progress-derived metrics.
+    if (study == "stream_shapes") {
+      import org.apache.spark.sql.functions._
+      val rep = sys.env.get("SPARK_GRAFT_STREAM_REP").map(_.toInt).getOrElse(10)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.queries.StreamingQueries.RocksDbProvider)
+      s2.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = graft.sources.Tables(s2, sfDir).events
+        .transform(graft.sources.Tables.normalizeEventTs)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_shapes_src_").toString
+      (0 until rep).foreach { i =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_shapes_stage_").toString
+        ev.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 32} DAYS"))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, f"chunk-$i%04d.parquet"))
+      }
+      val schema = s2.read.parquet(src).schema
+      def rd() = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      def shaped(shape: String): org.apache.spark.sql.DataFrame = shape match {
+        case "join" =>
+          // st_join's exact state shape: ±5-minute band on user_id,
+          // 1-hour watermark on both sides (two readers off the same
+          // chunk dir, one per side — the stJoinCore composition)
+          val clicks = rd().where(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+          val errors = rd().where(col("event_type") === "error")
+            .select(col("event_id").as("error_id"), col("user_id"),
+              col("ts").as("e_ts"))
+            .withWatermark("e_ts", "1 hour")
+          errors.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+              col("c_ts") <= col("e_ts") + expr("INTERVAL 5 MINUTES"))
+            .select("error_id", "user_id")
+        case "dedup" =>
+          // st_dedup's state shape: the keyspace horizon
+          rd().withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select("event_id", "event_type")
+      }
+      val results = Seq("join", "dedup").map { shape =>
+        val chk = java.nio.file.Files
+          .createTempDirectory(s"graft_shapes_chk_${shape}_").toString
+        val q = shaped(shape).writeStream.format("noop")
+          .outputMode("append")
+          .option("checkpointLocation", chk)
+          .start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.toSeq
+        q.stop()
+        def longs(re: scala.util.matching.Regex): Seq[Long] =
+          progs.flatMap(p => re.findFirstMatchIn(p.json).map(_.group(1).toLong))
+        val inputRows = longs(""""numInputRows"\s*:\s*(\d+)""".r)
+        val stateRows = longs(""""numRowsTotal"\s*:\s*(\d+)""".r)
+        val stateMem = longs(""""memoryUsedBytes"\s*:\s*(\d+)""".r)
+        val events = inputRows.sum
+        s""""$shape":{"events":$events,""" +
+          s""""batches":${inputRows.count(_ > 0)},"wall_sec":$wall,""" +
+          s""""events_per_sec":${(events / wall).toLong},""" +
+          s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
+          s""""state_rows_last":${stateRows.lastOption.getOrElse(0L)},""" +
+          s""""state_mem_max_bytes":${
+            if (stateMem.isEmpty) 0 else stateMem.max}}"""
+      }
+      spark.stop()
+      println(s"""{"metric":"stream_shapes","rep":$rep,""" +
+        results.mkString("", ",", ",") + s""""sf":"$sfDir"}""")
+      return
+    }
+
     // "knn_join_capped": the SKEW-PROOF k-NN-join configuration —
     // knnJoinCore with the KnnCandCap candidate sample on oversized
     // cells (SPARK_GRAFT_KNN_CAND_CAP overrides; 0 = uncapped
@@ -387,6 +483,82 @@ object ScaleStudy {
     // the family ranks by (cosine for kmeans-IVF, squared L2 for the
     // ADC paths). recall@3 = |ann ∩ brute| / (3·queries) — computed as
     // a distributed join + count, no row fetch.
+    // "annroute": the ANN family ROUTING rule measured end to end —
+    // IvfPq.calibrateRoute (both families built at the shared
+    // sampled-training budget, recall@3 measured on the 10 smallest
+    // coin-keyed queries against exact truth, route by margin)
+    // validated against an INDEPENDENT full measurement of both
+    // families on the study's own id-prefix queries. Run at the
+    // isotropic AND clustered decades: the record shows the
+    // calibration picking the measured winner wherever the gap
+    // exceeds the tie band. (Three O(sample) proxy signals were
+    // measured and rejected before this landed on direct
+    // calibration — BENCH_annroute_r10.jsonl carries every cut.)
+    if (study == "annroute") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val k = graft.queries.Similarity.kmeansCellsForN(n)
+      val cap = graft.queries.Similarity.TrainSamplePerCell * k
+      val pqK = graft.queries.Pq.pqKForN(n)
+      val vectors = emb.select(col("vec_id"), col("embedding"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.queries.Similarity.dotBuiltin(a, b)
+      def brute(nq: Int, byCosine: Boolean): org.apache.spark.sql.DataFrame = {
+        val q = broadcast(vectors.where(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+        val scored = vectors.select(col("vec_id"), col("embedding").as("ec"))
+          .crossJoin(q).where(col("query_id") =!= col("vec_id"))
+        val metric =
+          if (byCosine) dot(col("eq"), col("ec")) /
+            (sqrt(dot(col("eq"), col("eq"))) * sqrt(dot(col("ec"), col("ec"))))
+          else -(dot(col("eq"), col("eq")) - lit(2.0) * dot(col("eq"), col("ec"))
+            + dot(col("ec"), col("ec")))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("__m").desc, col("vec_id"))
+        scored.withColumn("__m", metric)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select("query_id", "vec_id")
+      }
+      def recallOf(ann: org.apache.spark.sql.DataFrame, nq: Int,
+          byCosine: Boolean): Double = {
+        val hits = ann.select("query_id", "vec_id")
+          .join(brute(nq, byCosine), Seq("query_id", "vec_id")).count()
+        hits.toDouble / (3.0 * nq)
+      }
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val p0 = graft.queries.IvfPq.Probes
+      val t0 = System.nanoTime()
+      val (calKm, calAdc, route) =
+        graft.queries.IvfPq.calibrateRoute(vectors, k, pqK, cap, p0)
+      val signalSec = (System.nanoTime() - t0) / 1e9
+      val e = vectors.withColumn("norm",
+        sqrt(dot(col("embedding"), col("embedding"))))
+      val rKmeans = recallOf(
+        graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_ar_km_"),
+          k = k, probes = p0, trainCap = Some(cap)),
+        nq = 10, byCosine = true)
+      val rRerank = recallOf(
+        graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_ar_rr_c_"),
+          tmp("graft_ar_rr_b_"), coarseK = k, probes = p0,
+          trainCap = Some(cap), pqK = pqK,
+          rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
+        nq = 10, byCosine = false)
+      val winner = if (rKmeans > rRerank) "kmeans_ivf"
+        else if (rRerank > rKmeans) "ivfadc" else "tie"
+      spark.stop()
+      println(s"""{"metric":"ann_route","n":$n,"k":$k,"train_cap":$cap,""" +
+        s""""pq_k":$pqK,"probes":$p0,""" +
+        s""""cal_kmeans":$calKm,"cal_ivfpq_rerank":$calAdc,""" +
+        s""""route_margin":${graft.queries.IvfPq.RouteMargin},""" +
+        s""""signal_sec":$signalSec,""" +
+        s""""route":"$route","kmeans_ivf":$rKmeans,"ivfpq_rerank":$rRerank,""" +
+        s""""winner":"$winner",""" +
+        s""""route_correct":${winner == "tie" || route == winner},""" +
+        s""""sf":"$sfDir"}""")
+      return
+    }
+
     if (study == "recall") {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._

@@ -199,7 +199,14 @@ object IvfPq {
       centDir: String, cbDir: String,
       coarseK: Int = CoarseK, coarseIters: Int = CoarseIters,
       probes: Int = Probes, trainCap: Option[Int] = None,
-      rerankDepth: Option[Int] = None, pqK: Int = Pq.PqK): DataFrame = {
+      rerankDepth: Option[Int] = None, pqK: Int = Pq.PqK,
+      queryIds: Option[DataFrame] = None): DataFrame = {
+    // query set: the gate's fixed id prefix, or an explicit (vec_id)
+    // frame — calibrateRoute routes its coin-chosen queries here
+    def queriesOf(v: DataFrame): DataFrame = queryIds match {
+      case Some(ids) => v.join(broadcast(ids.select("vec_id")), Seq("vec_id"))
+      case None => v.where(col("vec_id") < 10)
+    }
     require(coarseK > 0 && coarseIters > 0 && probes > 0 && pqK > 0,
       s"need positive k/iters/probes/pqK, got $coarseK/$coarseIters/$probes/$pqK")
     val s = vectors.sparkSession
@@ -232,9 +239,9 @@ object IvfPq {
       .select(col("cell"), col("vec_id"), col("m"), col("cid"))
     // per-(query, probed cell) residuals: the SAME assignResiduals
     // arithmetic applied to the probe list instead of the argmin cell
-    val qres = KmeansIvf.probeCells(vectors.where(col("vec_id") < 10), cent, probes)
+    val qres = KmeansIvf.probeCells(queriesOf(vectors), cent, probes)
       .select(col("vec_id"), col("cell"))
-      .join(vectors.where(col("vec_id") < 10), Seq("vec_id"))
+      .join(queriesOf(vectors), Seq("vec_id"))
       .join(broadcast(cent.select(col("cid").as("cell"),
         col("centroid").as("__c"))), Seq("cell"))
       .select(col("vec_id").as("query_id"), col("cell"),
@@ -283,7 +290,7 @@ object IvfPq {
         val cand = broadcast(short)
           .join(vectors.select(col("vec_id"), col("embedding").as("__ec")),
             Seq("vec_id"))
-        val qv = vectors.where(col("vec_id") < 10)
+        val qv = queriesOf(vectors)
           .select(col("vec_id").as("query_id"), col("embedding").as("__eq"))
         val w2 = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
         cand.join(broadcast(qv), Seq("query_id"))
@@ -297,6 +304,114 @@ object IvfPq {
             round(col("d2"), 6).as("d2"))
           .orderBy("query_id", "rank")
     }
+  }
+
+  /** Calibration queries for [[calibrateRoute]] — enough for a stable
+    * fraction (3·NQ hit slots) while keeping the exact-truth pass at
+    * NQ × n distances.
+    */
+  private[graft] val RouteCalibrationQueries = 10
+
+  /** Tie band for [[annRouteForRecalls]]: codes win ties because they
+    * are the cheaper index to SERVE (8 B/vector scans vs 256 B) — the
+    * raw-vector family must buy its 32× scan-bandwidth premium with a
+    * recall edge past this margin. 0.05 ≈ the observed run-to-run
+    * noise of a [[RouteCalibrationQueries]]-query recall estimate
+    * (±1–2 hits of 30); the measured decade gaps this rule exists for
+    * sit far outside it (0.067–0.333, BENCH_annroute_r10.jsonl).
+    */
+  private[graft] val RouteMargin = 0.05
+
+  /** The ANN family routing decision over two CALIBRATED recalls:
+    * raw-vector cells only when they beat the compressed family by
+    * more than [[RouteMargin]]; compressed codes otherwise (they are
+    * 32× cheaper to scan, so they win ties). On the five measured
+    * corpora (gate + 4 decades) this picks the measured winner
+    * everywhere the gap exceeds the margin — most importantly the
+    * wide-cluster decades, where kmeans-IVF leads by 0.17/0.33 — and
+    * routes the one inside-the-band case (isotropic ×10, gap 0.033)
+    * to the cheaper family.
+    */
+  def annRouteForRecalls(kmeansRecall: Double, adcRecall: Double): String =
+    if (kmeansRecall > adcRecall + RouteMargin) "kmeans_ivf" else "ivfadc"
+
+  /** Route calibration — ONE bounded measurement pass instead of a
+    * proxy statistic, because the round-10 study falsified the proxy
+    * family three times over (every cut and its measured failure is
+    * in BENCH_annroute_r10.jsonl / BENCH_NOTES round-10):
+    *
+    *   1. residual-energy ratio — scale-invariant per cell, so the
+    *      σ=0.5 wide clusters that break ADC ranking read as
+    *      perfectly "explained";
+    *   2. code-error-vs-neighbor-gap band count — 64-dim pairwise
+    *      distances concentrate, so the band swallowed the whole
+    *      sample on EVERY geometry (255/255 on the gate corpus,
+    *      where codes are in fact the winner);
+    *   3. sample-level ADC dry run — reads 0.95 on the very corpus
+    *      (clustered ×100) where the corpus-level compressed recall
+    *      is 0.57, because CROWDING IS A DENSITY PROPERTY: a cap-row
+    *      sample dilutes every cluster by n/cap, and the 10-deep
+    *      shortlist that overflows at 800 candidates/cell handles
+    *      the sample's 8 effortlessly. No O(sample) statistic can
+    *      see the failure mode, which is exactly why this routine
+    *      measures instead.
+    *
+    * The protocol: build BOTH sampled-training indexes (bounded
+    * model cost), take the [[RouteCalibrationQueries]] smallest
+    * coin-keyed vectors as queries, measure each family's recall@3
+    * against exact brute force under its own metric (cosine for
+    * raw cells, L2 for codes — each family judged on the job it
+    * serves), and route by [[annRouteForRecalls]]. The exact-truth
+    * pass costs NQ × n distances — ONE bounded linear scan per
+    * corpus, amortized over the index's whole serving life (this is
+    * the standard recall calibration every production ANN deployment
+    * runs before committing to an index layout), and at ×100 decade
+    * scale it completes inside the same minutes the index builds
+    * take. Deterministic end to end: coin-ordered queries, the
+    * families' own deterministic training, tie-broken ranks.
+    */
+  def calibrateRoute(vectors: DataFrame, coarseK: Int, pqK: Int,
+      trainCap: Int, probes: Int): (Double, Double, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val nq = RouteCalibrationQueries
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def truthOf(byCosine: Boolean): DataFrame = {
+      val q = broadcast(vectors.orderBy(sampleCoin, col("vec_id")).limit(nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
+      val scored = vectors.select(col("vec_id"), col("embedding").as("ec"))
+        .join(q, col("query_id") =!= col("vec_id"))
+      val metric =
+        if (byCosine) dot(col("eq"), col("ec")) /
+          (sqrt(dot(col("eq"), col("eq"))) * sqrt(dot(col("ec"), col("ec"))))
+        else -(dot(col("eq"), col("eq")) - lit(2.0) * dot(col("eq"), col("ec"))
+          + dot(col("ec"), col("ec")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__m").desc, col("vec_id"))
+      scored.withColumn("__m", metric)
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select("query_id", "vec_id")
+    }
+    def recallOf(ann: DataFrame, byCosine: Boolean): Double = {
+      val truth = truthOf(byCosine)
+      val hits = ann.select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id")).count()
+      val slots = truth.count()
+      if (slots == 0) 1.0 else hits.toDouble / slots
+    }
+    // each family at the shared (k, probes, sampled-training) budget,
+    // restricted to the calibration queries
+    val qFilter = vectors.orderBy(sampleCoin, col("vec_id")).limit(nq)
+      .select(col("vec_id"))
+    val e = vectors.withColumn("norm",
+      sqrt(dot(col("embedding"), col("embedding"))))
+    val km = Similarity.kmeansIvfCore(e, tmp("graft_cal_km_"), k = coarseK,
+      probes = probes, trainCap = Some(trainCap), queryIds = Some(qFilter))
+    val adc = ivfPqCore(vectors, tmp("graft_cal_rr_c_"), tmp("graft_cal_rr_b_"),
+      coarseK = coarseK, probes = probes, trainCap = Some(trainCap),
+      pqK = pqK, rerankDepth = Some(RerankDepth), queryIds = Some(qFilter))
+    val rKm = recallOf(km, byCosine = true)
+    val rAdc = recallOf(adc, byCosine = false)
+    (rKm, rAdc, annRouteForRecalls(rKm, rAdc))
   }
 
   private val dotSql =

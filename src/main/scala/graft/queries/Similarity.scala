@@ -262,7 +262,8 @@ object Similarity extends QueryModule {
     */
   private[graft] def kmeansIvfCore(e: DataFrame, centDir: String,
       k: Int = KmeansK, iters: Int = KmeansIters, probes: Int = KmeansProbes,
-      trainCap: Option[Int] = None): DataFrame = {
+      trainCap: Option[Int] = None,
+      queryIds: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && iters > 0 && probes > 0,
       s"need positive k/iters/probes, got $k/$iters/$probes")
     val s = e.sparkSession
@@ -278,8 +279,13 @@ object Similarity extends QueryModule {
     // read BACK so assignment provably uses the persisted table the
     // oracle will read — not a diverging in-memory lineage
     val trained = s.read.parquet(centDir)
-    val q = KmeansIvf.probeCells(
-        vectors.where(col("vec_id") < 20), trained, probes)
+    // query set: the gate's fixed id prefix, or an explicit (vec_id)
+    // frame — IvfPq.calibrateRoute routes its coin-chosen queries here
+    val queryVecs = queryIds match {
+      case Some(ids) => vectors.join(broadcast(ids.select("vec_id")), Seq("vec_id"))
+      case None => vectors.where(col("vec_id") < 20)
+    }
+    val q = KmeansIvf.probeCells(queryVecs, trained, probes)
       .join(e.select(col("vec_id"),
         col("embedding").as("eq"), col("norm").as("nq")), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("query_id"), col("eq"), col("nq"))
