@@ -216,6 +216,44 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-domain quota for [[taDomainCap]] — active at gate scale
+    * (every source holds 25 docs > the quota, so the rank truncation
+    * fires on all 20 groups).
+    */
+  private[graft] val DomainCapQuota = 10
+
+  /** Per-DOMAIN quota cap — the crawl-curation primitive the rate
+    * mixers ([[taMixture]]) deliberately are not: a rate keeps a
+    * FRACTION of every source, but crawl hygiene needs an absolute
+    * CEILING per domain (an SEO farm with 10 M near-identical pages
+    * must contribute at most Q documents no matter how big it is —
+    * capping, not thinning, is what bounds adversarial mass). Each
+    * domain keeps its [[DomainCapQuota]] smallest deterministic
+    * coins (`md5(seed || doc_id)` — partition- and rerun-independent,
+    * the [[taSample]] discipline), so reruns keep the SAME documents
+    * and a domain's kept set is stable as the crawl grows around it.
+    *
+    * Scale shape: one hash exchange on the domain key, then a
+    * rank-truncated window whose filter pushes into the window
+    * operator as a WindowGroupLimit (plan-asserted) — every task
+    * retains at most Q rows per group PRE-sort, so a 10 M-page domain
+    * costs its scan, never a 10 M-row sort buffer; the output is
+    * per-doc (kept + rank) so downstream stages join against it, and
+    * the manifest aggregate is the 20-row group count. The oracle
+    * replays coin, rank, truncation, and both manifest counts.
+    */
+  def taDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val coin = md5(concat(lit("graft-domcap-1|"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(coin, col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), coin.as("coin"))
+      .withColumn("qrank", row_number().over(w))
+      .where(col("qrank") <= DomainCapQuota)
+      .select(col("source"), col("doc_id"), col("qrank"))
+      .orderBy("source", "qrank")
+  }
+
   /** Deterministic corpus MIXTURE sampling — the data-mixing step of a
     * pretraining pipeline: each SOURCE is subsampled at its own rate
     * (here a per-source md5-derived stand-in for externally specified
@@ -881,6 +919,7 @@ object TextAnalysis extends QueryModule {
     "ta_pos_tokens" -> (taPosTokens _),
     "ta_repetition" -> (taRepetition _),
     "ta_sample" -> (taSample _),
+    "ta_domain_cap" -> (taDomainCap _),
     "ta_mixture" -> (taMixture _),
     "ta_mixture_weighted" -> (taMixtureWeighted _),
     "ta_top_terms_lang" -> (taTopTermsLang _),
@@ -1175,6 +1214,19 @@ object TextAnalysis extends QueryModule {
         |WHERE substr(md5('graft-sample-1|' || CAST(doc_id AS VARCHAR)), 1, 4)
         |  < CASE WHEN lang = 'en' THEN '0ccc' ELSE '3333' END
         |ORDER BY doc_id""".stripMargin,
+    // same md5 coin discipline; the rank truncation and the quota are
+    // replayed verbatim — a domain keeping an 11th doc, a coin ranked
+    // differently, or a dropped small domain all hash-fail
+    "ta_domain_cap" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('graft-domcap-1|' || CAST(doc_id AS VARCHAR)),
+         |        doc_id) AS INTEGER) AS qrank
+         |  FROM documents)
+         |SELECT source, doc_id, qrank FROM r
+         |WHERE qrank <= ${DomainCapQuota}
+         |ORDER BY source, qrank""".stripMargin,
     // same single-space/empty-filter token model as ta_quality; the
     // coin/rate compares are lexicographic on identical hex strings
     "ta_mixture" ->

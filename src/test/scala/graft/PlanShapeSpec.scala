@@ -184,6 +184,22 @@ class PlanShapeSpec extends SparkSpec {
       s"the keyset OR-predicate must reach the parquet scan:\n$p")
   }
 
+  test("ta_domain_cap: quota truncates inside the window, one domain exchange") {
+    val p = plan("ta_domain_cap")
+    // the quota filter must push into the window as a group limit —
+    // a 10M-page domain then costs its scan, never a sort buffer
+    assert(p.contains("WindowGroupLimit"),
+      s"quota must truncate pre-sort inside the window:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).size
+    assert(exchanges >= 1 && !p.contains("Join"),
+      s"one domain-keyed exchange, no joins:\n$p")
+    // quota active on every gate domain: exactly quota rows per source
+    val out = graft.queries.TextAnalysis.taDomainCap(spark, sfDir).collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySrc.values.forall(_ == graft.queries.TextAnalysis.DomainCapQuota),
+      s"quota not active on all domains: $bySrc")
+  }
+
   test("ta_lang_id: tokenizer evaluated once per row") {
     // the staged token array must survive optimization — exactly one
     // byte_split node in the physical plan, not one per consumer
