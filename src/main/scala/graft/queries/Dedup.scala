@@ -221,15 +221,15 @@ object Dedup extends QueryModule {
     finally intermediates.foreach(_.unpersist())
   }
 
-  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // persist: the shingle pipeline feeds the minhash build AND both
-    // verification branches (sa/sb) — without it the zip_with shingling
-    // re-runs three times. Production would stage this as a bucketed
-    // table; here the block-manager cache is the same role. Released
-    // before return — see [[settled]].
-    val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
-    sig.count() // eager materialization — see ngramJaccard's barrier note
-    val bands = sig
+  /** (doc_id, band_idx, band_val) for a (doc_id, sh) frame — the LSH
+    * banding shared VERBATIM by [[ddMinhashLsh]] and the streaming
+    * admission query ([[StreamingQueries]] st_lsh_dedup): one fused
+    * [[graft.functions.MinhashSig]] pass, then the fixed
+    * [[Bands]]×[[BandRows]] hex slices. Pure row expressions, so the
+    * same derivation runs on batch and streaming frames.
+    */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+    sig
       .select(col("doc_id"),
         graft.functions.MinhashSig.sig(col("sh"), NumHashes).as("sig"))
       .select(
@@ -239,6 +239,16 @@ object Dedup extends QueryModule {
             substring(col("sig"), b * BandRows * 8 + 1, BandRows * 8)
               .as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // persist: the shingle pipeline feeds the minhash build AND both
+    // verification branches (sa/sb) — without it the zip_with shingling
+    // re-runs three times. Production would stage this as a bucketed
+    // table; here the block-manager cache is the same role. Released
+    // before return — see [[settled]].
+    val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
+    sig.count() // eager materialization — see ngramJaccard's barrier note
+    val bands = bandsOf(sig)
       // persist + eager count: okBands, the semi-join probe, and both
       // self-join branches all read this tiny (n·Bands rows) table —
       // settle it once instead of re-running the signature kernel 4×
@@ -1848,6 +1858,26 @@ object Dedup extends QueryModule {
        |), c AS (
        |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
        |  FROM reach GROUP BY a
+       |)""".stripMargin
+
+  /** The shingle → minhash → band CTE chain ending in
+    * `bands(doc_id, band_idx, band_val)` — the replay of [[bandsOf]]
+    * over [[shingleDocs]], shared with the streaming-admission oracle
+    * (st_lsh_dedup) so both gates replay the identical banding
+    * arithmetic.
+    */
+  private[graft] lazy val bandsOracleCte: String =
+    s"""$shingleCte, hashed AS (
+       |  SELECT doc_id, unnest(sh) AS sng FROM s
+       |), mins AS (
+       |  SELECT doc_id,
+       |    $minhashSelect
+       |  FROM hashed GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(k => s"mh$k").mkString(", ")}
+       |  FROM mins
+       |), bands AS (
+       |  $bandSelects
        |)""".stripMargin
 
   private lazy val minhashOracleSql: String =

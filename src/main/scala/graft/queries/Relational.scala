@@ -1382,6 +1382,12 @@ object Relational extends QueryModule {
     * partitioned at scale). The manifest reports per-z-bucket spans of
     * the RAW keys — the file-skipping guarantee is on the columns
     * users filter by, not on the ranks.
+    *
+    * This variant is the EXACT CONTROL: its rank window runs over each
+    * key's full distinct table, which is corpus-sized for a
+    * high-cardinality key. The corpus-scale layer is implemented (and
+    * gated) as [[q54ZorderSampled]] — range-sampled histogram
+    * boundaries, every window constant-size in n.
     */
   def q54ZorderRank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey"))
