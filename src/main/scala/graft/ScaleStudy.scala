@@ -529,32 +529,43 @@ object ScaleStudy {
         java.nio.file.Files.createTempDirectory(p).toString
       val p0 = graft.queries.IvfPq.Probes
       val t0 = System.nanoTime()
-      val (calKm, calAdc, route) =
-        graft.queries.IvfPq.calibrateRoute(vectors, k, pqK, cap, p0)
+      val cal = graft.queries.IvfPq.calibrateRoute(vectors, k, pqK, cap, p0)
       val signalSec = (System.nanoTime() - t0) / 1e9
       val e = vectors.withColumn("norm",
         sqrt(dot(col("embedding"), col("embedding"))))
+      // independent truth at the calibration's own query budget — a
+      // 10-query study would re-introduce the ±0.07 estimate noise the
+      // NQ=40 calibration exists to remove
+      val studyNq = graft.queries.IvfPq.RouteCalibrationQueries
       val rKmeans = recallOf(
         graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_ar_km_"),
           k = k, probes = p0, trainCap = Some(cap)),
-        nq = 10, byCosine = true)
+        nq = studyNq, byCosine = true)
       val rRerank = recallOf(
         graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_ar_rr_c_"),
           tmp("graft_ar_rr_b_"), coarseK = k, probes = p0,
           trainCap = Some(cap), pqK = pqK,
           rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
-        nq = 10, byCosine = false)
+        nq = studyNq, byCosine = false)
       val winner = if (rKmeans > rRerank) "kmeans_ivf"
         else if (rRerank > rKmeans) "ivfadc" else "tie"
+      // route_correct matches the router's OWN semantics: a
+      // disagreement whose independently-measured gap sits inside the
+      // declared tie band is a coin toss between near-equals, not a
+      // routing error — in_band carries that distinction explicitly.
+      val studyGap = math.abs(rKmeans - rRerank)
+      val margin = graft.queries.IvfPq.RouteMargin
       spark.stop()
       println(s"""{"metric":"ann_route","n":$n,"k":$k,"train_cap":$cap,""" +
-        s""""pq_k":$pqK,"probes":$p0,""" +
-        s""""cal_kmeans":$calKm,"cal_ivfpq_rerank":$calAdc,""" +
-        s""""route_margin":${graft.queries.IvfPq.RouteMargin},""" +
+        s""""pq_k":$pqK,"probes":$p0,"study_nq":$studyNq,""" +
+        s""""cal_kmeans":${cal.kmeansRecall},"cal_ivfpq_rerank":${cal.adcRecall},""" +
+        s""""cal_gap":${cal.gap},"cal_in_band":${cal.inBand},""" +
+        s""""route_margin":$margin,""" +
         s""""signal_sec":$signalSec,""" +
-        s""""route":"$route","kmeans_ivf":$rKmeans,"ivfpq_rerank":$rRerank,""" +
-        s""""winner":"$winner",""" +
-        s""""route_correct":${winner == "tie" || route == winner},""" +
+        s""""route":"${cal.route}","kmeans_ivf":$rKmeans,"ivfpq_rerank":$rRerank,""" +
+        s""""winner":"$winner","study_gap":$studyGap,""" +
+        s""""in_band":${studyGap <= margin},""" +
+        s""""route_correct":${winner == "tie" || cal.route == winner || studyGap <= margin},""" +
         s""""sf":"$sfDir"}""")
       return
     }

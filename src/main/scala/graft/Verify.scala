@@ -1,6 +1,7 @@
 package graft
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.Executors
+import scala.jdk.CollectionConverters._
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import org.apache.spark.sql.SparkSession
@@ -34,17 +35,27 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // Failures are COUNTED and fail the process: a builder running this
+    // locally must see the same red the driver's oracle compare would —
+    // a caught-to-stderr-and-exit-0 gate is how broken queries ship.
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val runs = selected.toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.add(name)
         }
       }
     }
     Await.result(Future.sequence(runs), Duration.Inf)
     pool.shutdown()
+    if (!failed.isEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+        failed.asScala.toSeq.sorted.mkString(", "))
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -61,5 +72,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // exit AFTER oracle_sql.json lands so the successful queries stay
+    // comparable; nonzero status is the loud signal
+    if (!failed.isEmpty) sys.exit(1)
   }
 }

@@ -306,11 +306,38 @@ object IvfPq {
     }
   }
 
-  /** Calibration queries for [[calibrateRoute]] — enough for a stable
-    * fraction (3·NQ hit slots) while keeping the exact-truth pass at
-    * NQ × n distances.
+  /** Calibration queries for [[calibrateRoute]] — 120 hit slots. The
+    * round-10 record at NQ=10 (30 slots) showed calibration-vs-study
+    * winner flips on both isotropic decades: a ±1–2-hit estimate is
+    * ±0.03–0.07 recall, the same order as those corpora's true gaps.
+    * 40 queries quarters the standard error (±~0.017) so a flip can
+    * only happen inside the declared tie band, where [[RouteCalibration
+    * .inBand]] already reports the decision as a coin toss between
+    * near-equals. The exact-truth pass stays ONE bounded linear scan
+    * (NQ × n distances, broadcast queries).
     */
-  private[graft] val RouteCalibrationQueries = 10
+  private[graft] val RouteCalibrationQueries = 40
+
+  /** Query-selection coin for [[calibrateRoute]] — DEDICATED, so the
+    * calibration queries are out-of-training-sample for BOTH families
+    * symmetrically: the ADC family trains on the `graft-ivfpq-sample|`
+    * coin and kmeans-IVF on `graft-kmeans-sample|`, so reusing either
+    * coin here would hand that family an in-sample advantage on
+    * exactly the near-margin corpora the router exists to decide.
+    */
+  private[graft] def routeQueryCoin: Column =
+    md5(concat(lit("graft-route-query|"), col("vec_id").cast("string")))
+
+  /** [[calibrateRoute]]'s result: the two measured recalls, the route,
+    * and whether the measured gap sits inside [[RouteMargin]] — the
+    * caller's signal for "measured winner" vs "tie band, routed to the
+    * cheaper-to-serve family by policy".
+    */
+  final case class RouteCalibration(kmeansRecall: Double, adcRecall: Double,
+      route: String) {
+    def gap: Double = math.abs(kmeansRecall - adcRecall)
+    def inBand: Boolean = gap <= RouteMargin
+  }
 
   /** Tie band for [[annRouteForRecalls]]: codes win ties because they
     * are the cheaper index to SERVE (8 B/vector scans vs 256 B) — the
@@ -371,12 +398,12 @@ object IvfPq {
     * families' own deterministic training, tie-broken ranks.
     */
   def calibrateRoute(vectors: DataFrame, coarseK: Int, pqK: Int,
-      trainCap: Int, probes: Int): (Double, Double, String) = {
+      trainCap: Int, probes: Int): RouteCalibration = {
     import org.apache.spark.sql.expressions.Window
     val nq = RouteCalibrationQueries
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     def truthOf(byCosine: Boolean): DataFrame = {
-      val q = broadcast(vectors.orderBy(sampleCoin, col("vec_id")).limit(nq)
+      val q = broadcast(vectors.orderBy(routeQueryCoin, col("vec_id")).limit(nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
       val scored = vectors.select(col("vec_id"), col("embedding").as("ec"))
         .join(q, col("query_id") =!= col("vec_id"))
@@ -400,7 +427,7 @@ object IvfPq {
     }
     // each family at the shared (k, probes, sampled-training) budget,
     // restricted to the calibration queries
-    val qFilter = vectors.orderBy(sampleCoin, col("vec_id")).limit(nq)
+    val qFilter = vectors.orderBy(routeQueryCoin, col("vec_id")).limit(nq)
       .select(col("vec_id"))
     val e = vectors.withColumn("norm",
       sqrt(dot(col("embedding"), col("embedding"))))
@@ -411,7 +438,7 @@ object IvfPq {
       pqK = pqK, rerankDepth = Some(RerankDepth), queryIds = Some(qFilter))
     val rKm = recallOf(km, byCosine = true)
     val rAdc = recallOf(adc, byCosine = false)
-    (rKm, rAdc, annRouteForRecalls(rKm, rAdc))
+    RouteCalibration(rKm, rAdc, annRouteForRecalls(rKm, rAdc))
   }
 
   private val dotSql =

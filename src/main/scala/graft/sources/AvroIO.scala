@@ -163,6 +163,16 @@ object AvroIO {
           }
           writer.close()
           committed = taskFs.rename(tmp, dst)
+          // a false rename is only benign when it means "lost the
+          // commit race" — i.e. dst already exists from a sibling
+          // attempt. Any other false (transient FS error, missing
+          // parent) with no dst would silently drop this partition's
+          // data while the task reports success; fail the task so
+          // Spark retries it instead.
+          if (!committed && !taskFs.exists(dst)) {
+            throw new java.io.IOException(
+              s"AvroIO: rename($tmp -> $dst) failed and $dst does not exist")
+          }
         } finally {
           if (!committed) {
             try writer.close() catch { case _: Throwable => }

@@ -86,17 +86,21 @@ class AnnRouteSpec extends SparkSpec {
   }
 
   test("calibration routes each geometry to its measured winner") {
-    val (cluKm, cluAdc, cluRoute) = calibrate(clustered)
-    val (gKm, gAdc, gRoute) = calibrate(gateCorpus)
-    info(f"clustered: kmeans $cluKm%.3f vs ivfadc+rerank $cluAdc%.3f -> $cluRoute")
-    info(f"gate corpus: kmeans $gKm%.3f vs ivfadc+rerank $gAdc%.3f -> $gRoute")
+    val clu = calibrate(clustered)
+    val g = calibrate(gateCorpus)
+    info(f"clustered: kmeans ${clu.kmeansRecall}%.3f vs ivfadc+rerank " +
+      f"${clu.adcRecall}%.3f -> ${clu.route} (inBand=${clu.inBand})")
+    info(f"gate corpus: kmeans ${g.kmeansRecall}%.3f vs ivfadc+rerank " +
+      f"${g.adcRecall}%.3f -> ${g.route} (inBand=${g.inBand})")
     // the dense flat clusters must show a real compressed-ranking
     // deficit (the decades read 0.17-0.33 at scale) and route to raw
-    // cells; the codes-adequate control must keep the cheaper family
-    assert(cluKm > cluAdc + IvfPq.RouteMargin,
-      f"clustered gap collapsed: $cluKm%.3f vs $cluAdc%.3f")
-    assert(cluRoute === "kmeans_ivf")
-    assert(gRoute === "ivfadc",
-      f"gate-corpus control routed away from codes: $gKm%.3f vs $gAdc%.3f")
+    // cells — and the calibration must REPORT it as a measured winner,
+    // not a tie; the codes-adequate control must keep the cheaper family
+    assert(clu.kmeansRecall > clu.adcRecall + IvfPq.RouteMargin,
+      f"clustered gap collapsed: ${clu.kmeansRecall}%.3f vs ${clu.adcRecall}%.3f")
+    assert(clu.route === "kmeans_ivf")
+    assert(!clu.inBand, "clustered decision should be outside the tie band")
+    assert(g.route === "ivfadc",
+      f"gate-corpus control routed away from codes: ${g.kmeansRecall}%.3f vs ${g.adcRecall}%.3f")
   }
 }
