@@ -226,19 +226,21 @@ object ScaleStudy {
     }
 
     // "stream_shapes": sustained throughput + state boundedness for
-    // the two state shapes that actually outgrow executor heap at
+    // the state shapes that actually outgrow executor heap at
     // 100 TB/day — the stream-stream JOIN's two-sided band state
     // (st_join's shape: both sides keyed by (join key, event time),
-    // evicted against the query-global watermark) and the DEDUP
-    // horizon's keyspace state (st_dedup's shape:
-    // dropDuplicatesWithinWatermark). The round-9 throughput study
-    // covered only the windowed aggregate; these are the stores whose
-    // own Scaladocs make the RocksDB argument. Same chunked-source
-    // discipline: rep copies of the events table, each +32 days, one
-    // file per trigger — event time advances chunk to chunk, so a
-    // WATERMARK-GOVERNED store holds ~one chunk's keys at any batch
-    // (state_rows flat in rep), while an unbounded store would grow
-    // linearly. RocksDB provider, progress-derived metrics.
+    // evicted against the query-global watermark), the DEDUP horizon's
+    // keyspace state (st_dedup's shape: dropDuplicatesWithinWatermark),
+    // the LSH near-dup ADMISSION index (st_lsh_dedup's shape: band →
+    // first claimant, the store that grows with DISTINCT content
+    // rather than event volume), and the transformWithState v2 COUNTER
+    // store (st_tws_count's shape: keyspace-sized ValueState). Same
+    // chunked-source discipline: rep copies of the table, each
+    // +32 days, one file per trigger — event time advances chunk to
+    // chunk, so a WATERMARK-GOVERNED store holds ~one chunk's keys at
+    // any batch (state_rows flat in rep), while the tws counter pins
+    // the keyspace bound instead (flat at |users| regardless of rep).
+    // RocksDB provider, progress-derived metrics.
     if (study == "stream_shapes") {
       import org.apache.spark.sql.functions._
       val rep = sys.env.get("SPARK_GRAFT_STREAM_REP").map(_.toInt).getOrElse(10)
@@ -263,9 +265,38 @@ object ScaleStudy {
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(src, f"chunk-$i%04d.parquet"))
       }
+      // docs chunks for the "lsh" shape: rep copies of the documents
+      // table, each +32 days on the synthetic ingest clock (60 s/doc,
+      // as st_lsh_dedup) with chunk-unique doc_ids but IDENTICAL text —
+      // the content-addressed store's defining property under test:
+      // state grows with DISTINCT content in the horizon (one chunk's
+      // band set, flat in rep), not with event volume (rep × corpus),
+      // because each chunk's claims expire wholesale when the watermark
+      // jumps past them at the next chunk boundary.
+      val lshT0 = 1700000000L
+      val docs = graft.sources.Tables(s2, sfDir).documents
+        .select(col("doc_id"), col("text"))
+      val dsrc = java.nio.file.Files
+        .createTempDirectory("graft_shapes_docsrc_").toString
+      (0 until rep).foreach { i =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_shapes_docstage_").toString
+        docs.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("text"),
+            timestamp_seconds(lit(lshT0 + i.toLong * 32L * 86400L)
+              + col("doc_id") * 60L).as("ts"),
+            lit(i).as("phase"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(dsrc, f"chunk-$i%04d.parquet"))
+      }
       val schema = s2.read.parquet(src).schema
       def rd() = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
+      import s2.implicits._
       def shaped(shape: String): org.apache.spark.sql.DataFrame = shape match {
         case "join" =>
           // st_join's exact state shape: ±5-minute band on user_id,
@@ -288,8 +319,42 @@ object ScaleStudy {
           rd().withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark("event_id")
             .select("event_id", "event_type")
+        case "lsh" =>
+          // st_lsh_dedup's state shape: the near-dup ADMISSION index
+          // (band → first claimant), bands computed on ingest via the
+          // batch query's own Dedup.bandsOf derivation
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          graft.queries.Dedup.bandsOf(
+              s2.readStream
+                .schema("doc_id BIGINT, text STRING, ts TIMESTAMP, phase INT")
+                .option("maxFilesPerTrigger", "1").parquet(dsrc)
+                .withWatermark("ts", "1 hour")
+                .select(col("doc_id"),
+                  graft.functions.WordShingles.of(col("text")).as("sh"),
+                  col("ts"), col("phase")), "ts", "phase")
+            .select(concat(col("band_idx").cast("string"), lit(":"),
+                col("band_val")).as("band_key"),
+              col("doc_id"), col("phase"), col("ts"))
+            .as[graft.streaming.LshBandEvent]
+            .groupByKey(_.band_key)
+            .transformWithState(
+              new graft.streaming.LshAdmitter(3600L * 1000L),
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF()
+        case "tws" =>
+          // the transformWithState v2 counter store (st_tws_count's
+          // shape): ValueState keyed by user — state tracks the
+          // KEYSPACE (flat in rep), per-batch work tracks arrivals
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          rd()
+            .select(col("user_id"), (col("event_id") % 1000).as("cents"))
+            .as[graft.streaming.TwsEvent]
+            .groupByKey(_.user_id)
+            .transformWithState(new graft.streaming.TwsCounter,
+              TimeMode.None(), OutputMode.Append())
+            .toDF()
       }
-      val results = Seq("join", "dedup").map { shape =>
+      val results = Seq("join", "dedup", "lsh", "tws").map { shape =>
         val chk = java.nio.file.Files
           .createTempDirectory(s"graft_shapes_chk_${shape}_").toString
         val q = shaped(shape).writeStream.format("noop")

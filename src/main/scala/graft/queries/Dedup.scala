@@ -221,24 +221,31 @@ object Dedup extends QueryModule {
     finally intermediates.foreach(_.unpersist())
   }
 
-  /** (doc_id, band_idx, band_val) for a (doc_id, sh) frame — the LSH
-    * banding shared VERBATIM by [[ddMinhashLsh]] and the streaming
-    * admission query ([[StreamingQueries]] st_lsh_dedup): one fused
+  /** (doc_id, band_idx, band_val [, carry…]) for a (doc_id, sh [,
+    * carry…]) frame — the LSH banding shared VERBATIM by
+    * [[ddMinhashLsh]] and the streaming admission query
+    * ([[StreamingQueries.stLshDedup]]): one fused
     * [[graft.functions.MinhashSig]] pass, then the fixed
     * [[Bands]]×[[BandRows]] hex slices. Pure row expressions, so the
-    * same derivation runs on batch and streaming frames.
+    * same derivation runs on batch and streaming frames; `carry` names
+    * extra columns to thread through (the streaming query carries its
+    * event time and phase tag).
     */
-  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+  private[graft] def bandsOf(sig: DataFrame, carry: String*): DataFrame = {
+    val kept = carry.map(col)
     sig
-      .select(col("doc_id"),
-        graft.functions.MinhashSig.sig(col("sh"), NumHashes).as("sig"))
-      .select(
-        col("doc_id"),
+      .select(col("doc_id") +:
+        graft.functions.MinhashSig.sig(col("sh"), NumHashes).as("sig") +:
+        kept: _*)
+      .select(col("doc_id") +:
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("band_idx"),
             substring(col("sig"), b * BandRows * 8 + 1, BandRows * 8)
-              .as("band_val"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+              .as("band_val"))): _*)).as("band") +:
+        kept: _*)
+      .select(col("doc_id") +: col("band.band_idx") +: col("band.band_val") +:
+        kept: _*)
+  }
 
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // persist: the shingle pipeline feeds the minhash build AND both
@@ -1666,7 +1673,139 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Lexical-contamination drop threshold for the pipeline: a train
+    * doc whose eval-shingle overlap ratio reaches it is removed (any
+    * single shared shingle — [[ddContam]]'s reporting bar — would
+    * remove 95% of the gate corpus; 0.2 is the "substantial verbatim
+    * overlap" operating point).
+    */
+  private[graft] val PipelineLexTau = 0.2
+
+  /** Per-domain quota for the pipeline's final cap stage. Smaller than
+    * [[TextAnalysis.DomainCapQuota]] (the standalone operator's gate
+    * config) because the cap here applies to the POST-quality corpus —
+    * the same static-oracle compromise every scale-aware rule
+    * documents: the oracled constant is the gate corpus's operating
+    * point, a production run scales it with survivor density.
+    */
+  private[graft] val PipelineDomainQuota = 3
+
+  /** END-TO-END CURATION PIPELINE with per-stage drop attribution —
+    * the audit manifest a data team actually ships: every stage the
+    * repo proves separately, composed SEQUENTIALLY (first drop wins),
+    * one row per corpus document saying what happened to it and at
+    * which stage. Stage order is the frontier-pipeline convention
+    * (dedup → decontamination → quality → domain bounding), with the
+    * benchmark holdout ([[ContamBothEvalMod]] — the same suite both
+    * contamination screens test against) excluded up front:
+    *
+    *   1. `holdout`  — eval-suite docs; never training candidates.
+    *   2. `exact`    — not the min-doc_id keeper of its canonical-text
+    *                   fingerprint group ([[ddExact]]'s derivation).
+    *   3. `near_dup` — has a lower-id, exact-surviving train partner
+    *                   at verified minhash J ≥ 0.5 ([[ddMinhashLsh]]'s
+    *                   pair derivation VERBATIM — the band caps and
+    *                   verification run once, corpus-wide; the
+    *                   lower-id-neighbor drop rule is [[ddSemdedup]]'s).
+    *   4. `contam_lex` — eval-shingle overlap ratio ≥ [[PipelineLexTau]]
+    *                   ([[contam]]'s screen verbatim).
+    *   5. `contam_sem` — embedding cosine ≥ [[ContamEmbedTau]] against
+    *                   any eval vector ([[contamEmbed]] verbatim; docs
+    *                   without an embedding row cannot sem-flag, on
+    *                   both engines).
+    *   6. `gopher`   — fails any of the five [[TextAnalysis.gopherRules]].
+    *   7. `domain_cap` — beyond its domain's [[PipelineDomainQuota]]
+    *                   smallest md5 coins AMONG PIPELINE SURVIVORS
+    *                   (the sequential-composition stage: the quota
+    *                   rank is over what earlier stages let through —
+    *                   [[TextAnalysis.taDomainCap]]'s coin discipline).
+    *   8. `kept`.
+    *
+    * Scale shape: one scan computes fingerprints + gopher flags
+    * per-row; every stage-flag frame is HIT-sized and left-joins back
+    * to the base on doc_id; the only window runs over post-pipeline
+    * survivors per domain (already density-bounded by the stages
+    * before it). At the gate every stage except `exact` fires on the
+    * real corpus (the testdata has no byte-identical dups — declared);
+    * PipelineSpec's crafted fixture fires all seven, exact included.
+    */
+  def ddPipelineManifest(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ddMinhashLsh(s, dir).select("doc_a", "doc_b", "jaccard")
+    val lexHits = contam(shingled(s, dir), broadcastTest = false)
+      .select(col("doc_id"), col("contam_ratio"))
+    val sem = contamEmbed(Tables(s, dir).embeddings, ContamBothEvalMod)
+      .select(col("vec_id").as("doc_id"))
+    pipelineCore(graft.core.FanOut(Tables(s, dir).documents), pairs,
+      lexHits, sem, PipelineDomainQuota)
+  }
+
+  /** Core of [[ddPipelineManifest]] over explicit stage inputs, so the
+    * spec can drive every stage (exact dups included) on a crafted
+    * corpus: `pairs` = verified near-dup pairs (doc_a < doc_b,
+    * jaccard), `lexHits` = (doc_id, contam_ratio), `semFlagged` =
+    * sem-screen hit doc_ids.
+    */
+  private[graft] def pipelineCore(docs: DataFrame, pairs: DataFrame,
+      lexHits: DataFrame, semFlagged: DataFrame, quota: Int): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(ContamBothEvalMod)) === 0
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val base = docs.select(col("doc_id"), col("source"),
+      isEval.as("holdout"), fp.as("f"))
+    // exact: ddExact's min-per-fingerprint-group keeper, train side only
+    val keepers = base.where(!col("holdout"))
+      .groupBy("f").agg(min("doc_id").as("keep_id"))
+    val flagged = base.join(keepers, Seq("f"), "left")
+      .select(col("doc_id"), col("source"), col("holdout"),
+        (!col("holdout") && col("doc_id") =!= col("keep_id")).as("x_exact"))
+    val exSurvivors = flagged
+      .where(!col("holdout") && !col("x_exact"))
+      .select(col("doc_id").as("doc_a"))
+    val neard = pairs.where(col("jaccard") >= 0.5)
+      .join(exSurvivors, Seq("doc_a"), "left_semi")
+      .where(pmod(col("doc_b"), lit(ContamBothEvalMod)) =!= 0)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val lexd = lexHits.where(col("contam_ratio") >= PipelineLexTau)
+      .select("doc_id")
+    val gok = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"),
+        (col("ok_len") && col("ok_wordlen") && col("ok_stopword") &&
+          col("ok_dup") && col("ok_symbol")).as("gok"))
+    val v = flagged
+      .join(neard.withColumn("__near", lit(true)), Seq("doc_id"), "left")
+      .join(lexd.withColumn("__lex", lit(true)), Seq("doc_id"), "left")
+      .join(semFlagged.withColumn("__sem", lit(true)), Seq("doc_id"), "left")
+      .join(gok, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("holdout"), col("x_exact"),
+        coalesce(col("__near"), lit(false)).as("x_near"),
+        coalesce(col("__lex"), lit(false)).as("x_lex"),
+        coalesce(col("__sem"), lit(false)).as("x_sem"),
+        col("gok"))
+    val surv = v.where(!col("holdout") && !col("x_exact") && !col("x_near") &&
+      !col("x_lex") && !col("x_sem") && col("gok"))
+    // taDomainCap's coin discipline over the survivor set; rank is kept
+    // for ALL survivors (beyond-quota rows need their attribution), so
+    // this is the plain window, not the top-Q group-limit prune — the
+    // partition is post-pipeline survivors per domain, already bounded
+    val coin = md5(concat(lit("graft-domcap-1|"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(coin, col("doc_id"))
+    val capped = surv.select(col("doc_id"), row_number().over(w).as("qrank"))
+    v.join(capped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("holdout"), "holdout")
+          .when(col("x_exact"), "exact")
+          .when(col("x_near"), "near_dup")
+          .when(col("x_lex"), "contam_lex")
+          .when(col("x_sem"), "contam_sem")
+          .when(!col("gok"), "gopher")
+          .when(col("qrank") > quota, "domain_cap")
+          .otherwise("kept").as("stage"))
+      .withColumn("kept", col("stage") === "kept")
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_pipeline_manifest" -> (ddPipelineManifest _),
     "dd_contam_embed" -> (ddContamEmbed _),
     "dd_contam_both" -> (ddContamBoth _),
     "dd_keep_best" -> (ddKeepBest _),
@@ -1914,7 +2053,117 @@ object Dedup extends QueryModule {
          |JOIN sig sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The [[ddPipelineManifest]] replay — each stage's existing oracle
+    * derivation (shingle screen, embed screen, gopher rules, exact
+    * fingerprint, the FULL minhash pair derivation as a nested
+    * subquery) composed with the same first-drop-wins CASE the Spark
+    * side runs, and the domain-cap rank computed over the SQL-derived
+    * survivor set.
+    */
+  private lazy val pipelineManifestOracle: String = {
+    val stop = TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""$shingleCte, t AS (
+       |  SELECT DISTINCT unnest(list_distinct(sh)) AS shingle
+       |  FROM s WHERE doc_id % $ContamBothEvalMod = 0
+       |), tr AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd
+       |  FROM s WHERE doc_id % $ContamBothEvalMod <> 0
+       |), p AS (
+       |  SELECT doc_id, unnest(shd) AS shingle FROM tr
+       |), h AS (
+       |  SELECT p.doc_id, count(*) AS n_hit
+       |  FROM p JOIN t USING (shingle) GROUP BY p.doc_id
+       |), lexd AS (
+       |  SELECT h.doc_id FROM h JOIN tr ON tr.doc_id = h.doc_id
+       |  WHERE round(h.n_hit::DOUBLE / len(tr.shd), 6) >= $PipelineLexTau
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${embDotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), ev AS (
+       |  SELECT vec_id AS eval_id, embedding AS eemb, nrm AS enrm
+       |  FROM e WHERE vec_id % $ContamBothEvalMod = 0
+       |), ce AS (
+       |  SELECT vec_id, embedding, nrm FROM e
+       |  WHERE vec_id % $ContamBothEvalMod <> 0
+       |), pe AS (
+       |  SELECT ce.vec_id,
+       |    round(${embDotSql("ce.embedding", "ev.eemb")}
+       |      / (ce.nrm * ev.enrm), 6) AS cosine
+       |  FROM ce, ev
+       |), semd AS (
+       |  SELECT DISTINCT vec_id AS doc_id FROM pe
+       |  WHERE cosine >= $ContamEmbedTau
+       |), gt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w,
+       |    length(replace(text, ' ', '')) AS n_letters
+       |  FROM documents
+       |), gq AS (
+       |  SELECT doc_id,
+       |    ((len(w) BETWEEN ${TextAnalysis.GopherMinTokens}
+       |        AND ${TextAnalysis.GopherMaxTokens})
+       |     AND (len(w) > 0
+       |        AND n_letters::DOUBLE / len(w) >= ${TextAnalysis.GopherMinWordLen}
+       |        AND n_letters::DOUBLE / len(w) <= ${TextAnalysis.GopherMaxWordLen})
+       |     AND (len(list_filter(w, x -> x IN ($stop)))
+       |        >= ${TextAnalysis.GopherMinStopHits})
+       |     AND (len(w) - len(list_distinct(w))
+       |        <= ${TextAnalysis.GopherMaxDupRatio} * len(w))
+       |     AND (len(list_filter(w, x -> regexp_matches(x, '[^a-z0-9]')))
+       |        <= ${TextAnalysis.GopherMaxSymbolRatio} * len(w))) AS gok
+       |  FROM gt
+       |), fpt AS (
+       |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM documents WHERE doc_id % $ContamBothEvalMod <> 0
+       |), exd AS (
+       |  SELECT DISTINCT a.doc_id FROM fpt a
+       |  JOIN fpt b ON a.f = b.f AND b.doc_id < a.doc_id
+       |), prs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    $minhashOracleSql
+       |  ) WHERE jaccard >= 0.5
+       |), neard AS (
+       |  SELECT DISTINCT prs.doc_b AS doc_id FROM prs
+       |  WHERE prs.doc_a % $ContamBothEvalMod <> 0
+       |    AND prs.doc_b % $ContamBothEvalMod <> 0
+       |    AND prs.doc_a NOT IN (SELECT doc_id FROM exd)
+       |), v AS (
+       |  SELECT d.doc_id, d.source,
+       |    d.doc_id % $ContamBothEvalMod = 0 AS holdout,
+       |    d.doc_id IN (SELECT doc_id FROM exd) AS x_exact,
+       |    d.doc_id IN (SELECT doc_id FROM neard) AS x_near,
+       |    d.doc_id IN (SELECT doc_id FROM lexd) AS x_lex,
+       |    d.doc_id IN (SELECT doc_id FROM semd) AS x_sem,
+       |    gq.gok AS gok
+       |  FROM documents d JOIN gq USING (doc_id)
+       |), surv AS (
+       |  SELECT doc_id, source FROM v
+       |  WHERE NOT holdout AND NOT x_exact AND NOT x_near
+       |    AND NOT x_lex AND NOT x_sem AND gok
+       |), capped AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY source
+       |    ORDER BY md5('graft-domcap-1|' || CAST(doc_id AS VARCHAR)),
+       |      doc_id) AS qrank
+       |  FROM surv
+       |), m AS (
+       |  SELECT v.doc_id, v.source,
+       |    CASE WHEN holdout THEN 'holdout'
+       |         WHEN x_exact THEN 'exact'
+       |         WHEN x_near THEN 'near_dup'
+       |         WHEN x_lex THEN 'contam_lex'
+       |         WHEN x_sem THEN 'contam_sem'
+       |         WHEN NOT gok THEN 'gopher'
+       |         WHEN qrank > $PipelineDomainQuota THEN 'domain_cap'
+       |         ELSE 'kept' END AS stage
+       |  FROM v LEFT JOIN capped USING (doc_id)
+       |)
+       |SELECT doc_id, source, stage, stage = 'kept' AS kept
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dd_pipeline_manifest" -> pipelineManifestOracle,
     // same shingle staging; test side deduped to a distinct-shingle set
     // so each train posting contributes at most one hit
     "dd_contam" ->

@@ -887,6 +887,40 @@ object Relational extends QueryModule {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** Avro COMPLEX TYPES through [[graft.sources.AvroIO]] — the
+    * engine's own embeddings table (`array<float>`) riding its own row
+    * format, plus a string-keyed `map` and a nested `struct` built
+    * alongside it, round-tripped and unpacked. Two independent pins on
+    * the array payload: `norm` is computed BEFORE the write and
+    * carried through the nested record, `norm_rt` is recomputed from
+    * the ROUND-TRIPPED floats after the read — a single bit of drift
+    * anywhere in the float array's Avro encoding makes `norm_rt`
+    * diverge from the oracle's one derivation over the original
+    * parquet. Map access (`element_at`) and struct field extraction
+    * pin the composite plumbing; at 100 TB this is the CDC-stream
+    * shape for feature payloads (embedding + typed metadata per row).
+    */
+  def q66AvroComplex(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchDir("q66_avro_complex")
+    def nrm = round(sqrt(Similarity.dotBuiltin(col("embedding"),
+      col("embedding"))), 6)
+    val src = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        map(lit("dim"), size(col("embedding")).cast("long"),
+          lit("vid2"), col("vec_id") * 2).as("props"),
+        struct(size(col("embedding")).as("n_dims"), nrm.as("norm"))
+          .as("meta"))
+    graft.sources.AvroIO.write(src, base)
+    graft.sources.AvroIO.read(s, base, src.schema)
+      .select(col("vec_id"),
+        element_at(col("props"), "dim").as("dim"),
+        element_at(col("props"), "vid2").as("vid2"),
+        col("meta.n_dims").as("n_dims"),
+        col("meta.norm").as("norm"),
+        nrm.as("norm_rt"))
+      .orderBy("vec_id")
+  }
+
   /** UNPIVOT/melt — the inverse of [[q22Pivot]] and the feeder of every
     * long-format pipeline (metric stores, per-measure quality tables,
     * chart data): four lineitem measures melt into (measure, value)
@@ -1879,6 +1913,7 @@ object Relational extends QueryModule {
     "q63_avro_roundtrip" -> (q63AvroRoundtrip _),
     "q64_unpivot" -> (q64Unpivot _),
     "q65_avro_evolution" -> (q65AvroEvolution _),
+    "q66_avro_complex" -> (q66AvroComplex _),
     "q56_pit_join" -> (q56PitJoin _),
     "q57_compaction_plan" -> (q57CompactionPlan _),
     "q58_schema_evolution" -> (q58SchemaEvolution _),
@@ -2634,6 +2669,26 @@ object Relational extends QueryModule {
         |  UNPIVOT (value FOR measure IN
         |    (l_quantity, l_extendedprice, l_discount, l_tax))
         |GROUP BY measure ORDER BY measure""".stripMargin,
+    // oracle from the ORIGINAL parquet: the Avro composite round-trip
+    // (array<float> + map + nested struct) must be lossless — norm was
+    // computed pre-write and carried through the nested record,
+    // norm_rt recomputed from the round-tripped floats; both must
+    // equal this one derivation (same double fold as the engine's
+    // dotBuiltin)
+    "q66_avro_complex" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | vec_id * 2 AS vid2,
+        | CAST(len(embedding) AS INTEGER) AS n_dims,
+        | round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(range(1, len(embedding) + 1),
+        |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+        |   (x, y) -> x + y)), 6) AS norm,
+        | round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(range(1, len(embedding) + 1),
+        |     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+        |   (x, y) -> x + y)), 6) AS norm_rt
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // same: oracle from parquet, Avro pair must be lossless incl. the
     // long ids and micros
     "q63_avro_roundtrip" ->

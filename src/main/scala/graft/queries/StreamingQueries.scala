@@ -773,6 +773,119 @@ object StreamingQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Synthetic ingest clock for [[stLshDedup]]: doc d arrives at
+    * T0 + d·60 s. Whole seconds everywhere, so every ms-precision
+    * watermark/expiry comparison is exact on both engines. With a 1 h
+    * horizon the eviction boundary falls out as max_id − first_doc >
+    * 2·3600/60 = 120 — the constant the oracle bakes in.
+    */
+  private val LshT0 = 1700000000L
+  private val LshSpacingSec = 60L
+  private val LshHorizonMs = 3600L * 1000L
+
+  /** Progress JSON of the most recent [[stLshDedup]] run, for
+    * StreamingSpec's provider assertion (same contract as
+    * [[lastTwsProgress]]).
+    */
+  @volatile private[graft] var lastLshProgress: Seq[String] = Nil
+
+  /** Streaming NEAR-DUPLICATE ADMISSION — the LLM-pipeline state shape
+    * none of the other `st_*` rows reach: documents arrive as a stream,
+    * each computes its MinHash band signatures ON INGEST (the
+    * [[Dedup.bandsOf]] derivation, shared VERBATIM with the batch
+    * `dd_minhash_lsh`), and probes a band→first-claimant admission
+    * index held in RocksDB state ([[graft.streaming.LshAdmitter]]).
+    * A document is admitted iff none of its [[Dedup.Bands]] bands is
+    * already claimed — state grows with DISTINCT content inside the
+    * watermark horizon, not with event volume.
+    *
+    * Three mtime-ordered phases à la [[stDedup]], under a synthetic
+    * ingest clock (doc d at T0 + d·60 s, 1 h watermark):
+    *
+    *   - phase 0: the full documents table in one batch. The initial
+    *     watermark is 0, so no claim can expire: a band's winner is its
+    *     min doc_id, every other arrival of that band collides.
+    *   - phase 1: one advancer row (doc_id −1, filtered before banding
+    *     — it never probes the index) — a batch boundary at which the
+    *     watermark (now max ingest time − 1 h) fires the expiry timers
+    *     of every band first claimed more than 2 h before the end of
+    *     the corpus, PHYSICALLY deleting those claims from RocksDB.
+    *   - phase 2: every document re-sent at a FRESH ingest time
+    *     (= max). Bands whose claim survived (first_doc strictly
+    *     within 120 doc-slots of max_id) collide — including with THEMSELVES, the
+    *     exact-re-arrival-drop of st_dedup; bands whose claim was
+    *     evicted re-admit their min re-arriving doc (= first_doc
+    *     again, since all docs re-send) and collide the rest. An
+    *     engine that never evicts, evicts the wrong horizon, or loses
+    *     the within-batch min-doc discipline hash-fails.
+    *
+    * Per-band collision rows go append-mode to a parquet sink; the
+    * read-back aggregates per (phase, doc): n_bands (pins banding
+    * completeness), n_coll, and the admission verdict. The oracle
+    * replays the banding through [[Dedup.bandsOracleCte]] and the
+    * liveness rule in closed form.
+    */
+  def stLshDedup(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // transformWithState requires RocksDB; isolated session as in
+    // stTwsCount so the provider never leaks to other queries
+    val s = s0.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max("doc_id").as("max_id"))
+    def tsOf(c: org.apache.spark.sql.Column) =
+      timestamp_seconds(lit(LshT0) + c * LshSpacingSec)
+    val phase0 = docs
+      .select(col("doc_id"), col("text"), tsOf(col("doc_id")).as("ts"),
+        lit(0).as("phase"))
+    val advancer = mx.select(lit(-1L).as("doc_id"), lit("").as("text"),
+      tsOf(col("max_id")).as("ts"), lit(1).as("phase"))
+    val resent = docs.crossJoin(broadcast(mx)) // 1-row stats broadcast
+      .select(col("doc_id"), col("text"), tsOf(col("max_id")).as("ts"),
+        lit(2).as("phase"))
+    val srcDir = stagePhases(s, "st_lsh_dedup", Seq(phase0, advancer, resent))
+    val src = s.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP, phase INT")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      // the advancer only advances the batch clock; it must not claim
+      // a band (its empty text would otherwise mint a real signature)
+      .where(col("doc_id") >= 0)
+    val events = Dedup
+      .bandsOf(src.select(col("doc_id"),
+        graft.functions.WordShingles.of(col("text")).as("sh"),
+        col("ts"), col("phase")), "ts", "phase")
+      .select(
+        concat(col("band_idx").cast("string"), lit(":"), col("band_val"))
+          .as("band_key"),
+        col("doc_id"), col("phase"), col("ts"))
+      .as[graft.streaming.LshBandEvent]
+    val admitted = events
+      .groupByKey(_.band_key)
+      .transformWithState(new graft.streaming.LshAdmitter(LshHorizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+    val out = freshDir("st_lsh_dedup/out")
+    val chk = freshDir("st_lsh_dedup/chk")
+    val q = admitted.toDF().writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      lastLshProgress = q.recentProgress.toSeq.map(_.json)
+    } finally q.stop()
+    s.read.parquet(out)
+      .groupBy("phase", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bands"),
+        sum(when(col("collided"), 1).otherwise(0)).cast("int").as("n_coll"))
+      .select(col("phase"), col("doc_id"), col("n_bands"), col("n_coll"),
+        (col("n_coll") === 0).as("admitted"))
+      .orderBy("phase", "doc_id")
+  }
+
   /** STREAMING CDC APPLY — the composition the lakehouse rows (q55/
     * q60/q61/q62) and the streaming rows prove separately, run as one
     * pipeline: a multi-version change stream arrives in micro-batches
@@ -877,6 +990,7 @@ object StreamingQueries extends QueryModule {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_lsh_dedup" -> (stLshDedup _),
     "st_merge_cdc" -> (stMergeCdc _),
     "st_tws_count" -> (stTwsCount _),
     "st_tws_ttl" -> (stTwsTtl _),
@@ -924,6 +1038,7 @@ object StreamingQueries extends QueryModule {
        |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "st_lsh_dedup" -> stLshDedupOracle,
     // q62's oracle VERBATIM: the streaming apply must converge to the
     // batch merge's exact audit — any batch-boundary sensitivity in
     // the reconciliation hash-fails
@@ -1044,6 +1159,44 @@ object StreamingQueries extends QueryModule {
     "st_sessionize" -> sessionizeOracle,
     "st_tws_session" -> sessionizeOracle,
   )
+
+  /** The [[stLshDedup]] replay: banding through [[Dedup.bandsOracleCte]]
+    * (the identical shingle → minhash → band arithmetic), then the
+    * admission rule in closed form. Phase 0's watermark is 0, so a
+    * band's winner is its min doc_id and every other arrival collides.
+    * Phase 2 re-sends every doc at the fresh max ingest time, so a
+    * band's re-arrival set has the SAME min — liveness decides
+    * everything: a claim is live iff the watermark has not REACHED its
+    * expiry (strict — the engine's timers fire on reach), which under
+    * the 60 s/doc clock and 1 h horizon reduces to
+    * max_id − first_doc < 120 (all whole-second ms arithmetic — exact
+    * on both engines); live claims collide every re-arrival (their own
+    * first claimant included — the exact-re-arrival drop), evicted
+    * claims re-admit first_doc and collide the rest.
+    */
+  private lazy val stLshDedupOracle: String = {
+    val slots = 2L * (LshHorizonMs / 1000L) / LshSpacingSec
+    s"""${Dedup.bandsOracleCte},
+       |fb AS (
+       |  SELECT band_idx, band_val, min(doc_id) AS first_doc
+       |  FROM bands GROUP BY band_idx, band_val),
+       |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |p0 AS (
+       |  SELECT 0 AS phase, b.doc_id, count(*) AS n_bands,
+       |    sum(CASE WHEN b.doc_id > f.first_doc THEN 1 ELSE 0 END) AS n_coll
+       |  FROM bands b JOIN fb f USING (band_idx, band_val)
+       |  GROUP BY b.doc_id),
+       |p2 AS (
+       |  SELECT 2 AS phase, b.doc_id, count(*) AS n_bands,
+       |    sum(CASE WHEN mx.max_id - f.first_doc < $slots
+       |          OR b.doc_id > f.first_doc THEN 1 ELSE 0 END) AS n_coll
+       |  FROM bands b JOIN fb f USING (band_idx, band_val), mx
+       |  GROUP BY b.doc_id),
+       |u AS (SELECT * FROM p0 UNION ALL SELECT * FROM p2)
+       |SELECT phase, doc_id, CAST(n_bands AS INTEGER) AS n_bands,
+       |  CAST(n_coll AS INTEGER) AS n_coll, n_coll = 0 AS admitted
+       |FROM u ORDER BY phase, doc_id""".stripMargin
+  }
 
   private lazy val sessionizeOracle: String =
       """WITH l AS (

@@ -37,12 +37,15 @@ import org.apache.spark.sql.types._
   *     driver-local temp-dir staging), with the writer schema derived
   *     from the DataFrame schema.
   *
-  * Schema mapping (the testdata type surface, both directions):
-  * long/int/double/boolean/string/binary map to their Avro primitives,
-  * `TimestampType` to `long` with the `timestamp-micros` logical type
-  * (microsecond-exact — the trap [[graft.queries.Relational.q43CsvRoundtrip]]
-  * documents for CSV is structural here: Avro's encoding IS micros),
-  * and nullable fields to `union(null, T)`. The RDD hop exists because
+  * Schema mapping (both directions): long/int/double/float/boolean/
+  * string/binary map to their Avro primitives, `TimestampType` to
+  * `long` with the `timestamp-micros` logical type (microsecond-exact
+  * — the trap [[graft.queries.Relational.q43CsvRoundtrip]] documents
+  * for CSV is structural here: Avro's encoding IS micros), and
+  * COMPOSITES recursively: arrays, string-keyed maps, and nested
+  * structs to Avro arrays/maps/records (q66_avro_complex gates the
+  * embeddings table — `array<float>` — riding this source), with
+  * nullability as `union(null, T)` at every level. The RDD hop exists because
   * a file-format bridge is genuinely imperative per-partition work —
   * the narrow map carries no shuffle and the result lands back in a
   * DataFrame before any relational work starts.
@@ -51,23 +54,17 @@ object AvroIO {
 
   /** Avro writer/reader schema for a Spark schema (records named for
     * the sink; field order preserved — position is the contract).
+    * Complex types map to Avro's own composites, recursively:
+    * `array<T>` → avro array, `map<string, T>` → avro map (Avro maps
+    * are string-keyed by spec — other key types loud-fail), nested
+    * `struct` → nested record (named by its path, so every record in
+    * the file's schema has a unique full name), with nullability at
+    * every level as `union(null, T)`.
     */
   def avroSchemaFor(st: StructType, name: String = "graft_record"): Schema = {
     val fields = SchemaBuilder.record(name).namespace("graft.avro").fields()
     st.fields.foldLeft(fields) { (fs, f) =>
-      val base = f.dataType match {
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case TimestampType =>
-          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case other => throw new IllegalArgumentException(
-          s"AvroIO: unsupported type $other for field ${f.name}")
-      }
+      val base = avroTypeFor(f.dataType, s"${name}_${f.name}")
       if (f.nullable) {
         // union(null, T) with a null DEFAULT: the default is what lets
         // Avro's schema-resolution rules fill the field when a READER
@@ -80,24 +77,86 @@ object AvroIO {
     }.endRecord()
   }
 
-  private def toAvro(v: Any): Any = v match {
-    case null                      => null
-    case t: java.sql.Timestamp     =>
+  /** The recursive type walk under [[avroSchemaFor]]; `path` seeds
+    * unique record names for nested structs.
+    */
+  private def avroTypeFor(dt: DataType, path: String): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(et, containsNull) =>
+      Schema.createArray(nullable(avroTypeFor(et, s"${path}_item"), containsNull))
+    case MapType(StringType, vt, valueContainsNull) =>
+      Schema.createMap(nullable(avroTypeFor(vt, s"${path}_value"), valueContainsNull))
+    case MapType(kt, _, _) => throw new IllegalArgumentException(
+      s"AvroIO: Avro maps are string-keyed by spec; map key type $kt at $path")
+    case nested: StructType => avroSchemaFor(nested, path)
+    case other => throw new IllegalArgumentException(
+      s"AvroIO: unsupported type $other at $path")
+  }
+
+  private def nullable(s: Schema, isNullable: Boolean): Schema =
+    if (isNullable)
+      Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+    else s
+
+  /** The non-null branch of a nullable union (the schema the VALUE
+    * encodes under); pass-through for non-unions.
+    */
+  private def nonNullOf(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Spark external value → Avro datum, driven by BOTH type systems so
+    * composites recurse with the right element/value/field schemas
+    * (the datum writer needs concrete `GenericRecord`s for nested
+    * records and resolves unions itself).
+    */
+  private def toAvro(v: Any, dt: DataType, sch: Schema): Any = (v, dt) match {
+    case (null, _) => null
+    case (t: java.sql.Timestamp, _) =>
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     // with spark.sql.datetime.java8API.enabled=true Row.get hands back
     // java.time.Instant for TimestampType — same timestamp-micros
     // encoding (nanos already carry the sub-second part, [0, 1e9))
-    case i: java.time.Instant      =>
+    case (i: java.time.Instant, _) =>
       i.getEpochSecond * 1000000L + i.getNano / 1000L
-    case b: Array[Byte]            => ByteBuffer.wrap(b)
+    case (b: Array[Byte], _) => ByteBuffer.wrap(b)
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val es = nonNullOf(nonNullOf(sch).getElementType)
+      val out = new java.util.ArrayList[Any](seq.size)
+      seq.foreach(e => out.add(toAvro(e, et, es)))
+      out
+    case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+      val vs = nonNullOf(nonNullOf(sch).getValueType)
+      val out = new java.util.HashMap[String, Any](m.size * 2)
+      m.foreach { case (k, mv) => out.put(k.toString, toAvro(mv, vt, vs)) }
+      out
+    case (r: Row, nested: StructType) =>
+      val rs = nonNullOf(sch)
+      val rec = new GenericData.Record(rs)
+      var i = 0
+      while (i < nested.length) {
+        rec.put(i, toAvro(r.get(i), nested(i).dataType,
+          rs.getFields.get(i).schema()))
+        i += 1
+      }
+      rec
     // fail HERE with the runtime class, not deep inside Avro's union
     // writer: schema mapping already vetted the DataFrame types, so a
     // surprise can only be an external-type variant (e.g. LocalDate)
     // this bridge does not handle yet
-    case d @ (_: java.time.LocalDate | _: java.sql.Date) =>
+    case (d @ (_: java.time.LocalDate | _: java.sql.Date), _) =>
       throw new IllegalArgumentException(
         s"AvroIO: unsupported runtime value type ${d.getClass.getName}")
-    case other                     => other
+    case (other, _) => other
   }
 
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
@@ -109,6 +168,15 @@ object AvroIO {
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
     case (bb: ByteBuffer, BinaryType)  =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    // GenericData.Array implements java.util.Collection; elements
+    // recurse (Utf8 strings, nested records, …)
+    case (l: java.util.Collection[_], ArrayType(et, _)) =>
+      l.asScala.map(fromAvro(_, et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt) }.toMap
+    case (r: GenericRecord, nested: StructType) =>
+      Row.fromSeq(nested.fields.indices.map(i =>
+        fromAvro(r.get(i), nested(i).dataType)))
     case (other, _)                    => other
   }
 
@@ -156,7 +224,8 @@ object AvroIO {
             val rec = new GenericData.Record(schema)
             var i = 0
             while (i < sparkSchema.length) {
-              rec.put(i, toAvro(row.get(i)))
+              rec.put(i, toAvro(row.get(i), sparkSchema(i).dataType,
+                schema.getFields.get(i).schema()))
               i += 1
             }
             writer.append(rec)

@@ -161,6 +161,76 @@ class AvroIOSpec extends SparkSpec {
       n.matches("part-\\d{5}\\.avro")), s"unexpected files: $names")
   }
 
+  private val complexSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("emb", ArrayType(FloatType, containsNull = true),
+      nullable = true),
+    StructField("tags", ArrayType(StringType, containsNull = false),
+      nullable = true),
+    StructField("props", MapType(StringType, LongType,
+      valueContainsNull = true), nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n", IntegerType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("deep", StringType, nullable = true))),
+        nullable = true))), nullable = true)))
+
+  private def complexRows: Seq[Row] = {
+    val t = Timestamp.valueOf("2026-03-01 12:34:56.123456")
+    Seq(
+      Row(1L, Seq(1.5f, -2.25f, 0f), Seq("a", "b"),
+        Map("k1" -> 10L, "k2" -> -3L), Row(7, t, Row("bottom"))),
+      // nulls at every level: null element, null map value, null
+      // nested-struct field, null inner struct
+      Row(2L, Seq(0.5f, null, 3f), Seq.empty[String],
+        Map("k" -> null), Row(null, null, null)),
+      // null composites themselves
+      Row(3L, null, null, null, null))
+  }
+
+  test("complex types round-trip: arrays, maps, nested structs, nulls at every level") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t9"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(complexRows, 2), complexSchema)
+    AvroIO.write(df, dir)
+    val back = AvroIO.read(spark, dir, complexSchema)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      complexSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drift: ${back.schema}")
+    def norm(r: Row) = (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4))
+    assert(back.collect().map(norm).toSet === spark.createDataFrame(
+      spark.sparkContext.parallelize(complexRows, 2), complexSchema)
+      .collect().map(norm).toSet)
+  }
+
+  test("schema evolution with a nested field: old writers null-fill the new composite") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t10"
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false)))
+    AvroIO.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(2L)), 1),
+      writerSchema), dir)
+    // the reader adds an array AND a nested struct the writer never had
+    val readerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("emb", ArrayType(FloatType), nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("n", IntegerType, nullable = true))), nullable = true)))
+    val got = AvroIO.read(spark, dir, readerSchema).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    assert(got === Set((1L, null, null), (2L, null, null)))
+  }
+
+  test("non-string map keys fail loudly at schema mapping, not at write time") {
+    val bad = StructType(Seq(
+      StructField("m", MapType(LongType, StringType), nullable = true)))
+    val err = intercept[IllegalArgumentException] {
+      AvroIO.avroSchemaFor(bad)
+    }
+    assert(err.getMessage.contains("string-keyed"))
+  }
+
   test("schema mapping: nullable fields become union(null, T), micros logical type") {
     val av = AvroIO.avroSchemaFor(schema)
     import org.apache.avro.Schema

@@ -427,6 +427,105 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st_lsh_dedup: streaming admission evicts, readmits, and self-drops") {
+    import graft.queries.StreamingQueries
+    val rows = StreamingQueries.stLshDedup(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    val progress = StreamingQueries.lastLshProgress.mkString("\n")
+    assert(progress.contains("transformWithState"),
+      s"expected the transformWithState operator in progress:\n$progress")
+    assert(progress.contains("rocksdb"),
+      "transformWithState requires the RocksDB provider — metrics missing")
+    // banding completeness: every doc-instance probed with all 4 bands
+    assert(rows.nonEmpty && rows.forall(_._3 === graft.queries.Dedup.Bands),
+      "every document must carry exactly Bands band rows")
+    def admitted(p: Int) = rows.filter(r => r._1 == p && r._5).map(_._2).toSet
+    val (a0, a2) = (admitted(0), admitted(2))
+    // phase 0 is non-trivial: the corpus has near-dups, so someone
+    // collided on first arrival
+    assert(a0.size < rows.count(_._1 == 0), "phase 0 never collided")
+    // eviction fired: an old first-claimant's bands were deleted, so its
+    // re-send was READMITTED
+    assert((a0 & a2).nonEmpty, "no evicted claim was ever readmitted")
+    // retention held: a recent claimant's re-send collided with its own
+    // live claim (the exact-re-arrival drop)
+    assert((a0 -- a2).nonEmpty, "no retained claim dropped its re-arrival")
+  }
+
+  test("LSH admission index survives a kill-and-restore from the RocksDB checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // two-run cycle over one checkpoint: run 1 admits doc 0 and rejects
+    // its same-batch twin doc 1; after the "crash", the restarted query
+    // must reject doc 2 (same content — the band claims live only in
+    // the RocksDB checkpoint now) and admit fresh-content doc 3.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.queries.StreamingQueries.RocksDbProvider)
+    val srcDir = graft.core.TempDirs.create("lshkr_src")
+    val out = graft.core.TempDirs.create("lshkr_out")
+    val chk = ckpt()
+    val textA = "alpha beta gamma delta epsilon"
+    val textB = "zulu yankee xray whiskey victor"
+    val t0Us = 1700000000000000L
+    def write(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val scratch = graft.core.TempDirs.create("lshkr_stage")
+      rows.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(t0Us)).as("ts"), lit(0).as("phase"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime), s"cannot set mtime on $dst")
+    }
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      import ns.implicits._
+      val src = ns.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP, phase INT")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+      graft.queries.Dedup
+        .bandsOf(src.select(col("doc_id"),
+          graft.functions.WordShingles.of(col("text")).as("sh"),
+          col("ts"), col("phase")), "ts", "phase")
+        .select(concat(col("band_idx").cast("string"), lit(":"),
+            col("band_val")).as("band_key"),
+          col("doc_id"), col("phase"), col("ts"))
+        .as[graft.streaming.LshBandEvent]
+        .groupByKey(_.band_key)
+        .transformWithState(new graft.streaming.LshAdmitter(3600L * 1000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+    write("p0.parquet", 1700000000000L, 0L -> textA, 1L -> textA)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // the "crash"
+    write("p1.parquet", 1700000060000L, 2L -> textA, 3L -> textB)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(q2.recentProgress.map(_.numInputRows).sum > 0L,
+        "restarted query ingested nothing")
+      assert(q2.recentProgress.map(_.json).mkString.contains("rocksdb"),
+        "restarted query is not on the RocksDB provider")
+    } finally q2.stop()
+    val coll = spark.read.parquet(out)
+      .groupBy("doc_id")
+      .agg(sum(when(col("collided"), 1).otherwise(0)).as("n_coll"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bands = graft.queries.Dedup.Bands.toLong
+    // doc 0: the claim; doc 1: same-batch min-doc loser; doc 2: rejected
+    // by the RECOVERED claims; doc 3: fresh content, admitted
+    assert(coll === Map(0L -> 0L, 1L -> bands, 2L -> bands, 3L -> 0L),
+      coll.toString)
+  }
+
   test("st_tws_session: v2 timer sessionization == legacy flatMapGroupsWithState") {
     import graft.queries.StreamingQueries
     // the two state APIs run the SAME gap semantics over the same
