@@ -486,6 +486,19 @@ object ScaleStudy {
         .agg(count(lit(1)), sum(round(col("value") * 100).cast("long")),
           max(col("ts")), sum(length(col("props"))))
         .write.format("noop").mode("overwrite").save()
+      val embBase = graft.sources.Tables(spark, sfDir).embeddings
+        .select("vec_id", "embedding")
+      val embaSchema = embBase.schema
+      val emba = (0 until rep).map(i => embBase
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+        .reduce(_.unionAll(_))
+        .repartition(32)
+        .persist()
+      emba.count()
+      def aggArr(df: org.apache.spark.sql.DataFrame): Unit = df
+        .agg(count(lit(1)),
+          sum(expr("aggregate(embedding, 0d, (a, x) -> a + x)")))
+        .write.format("noop").mode("overwrite").save()
       val results = Seq(
         ("parquet",
           (d: String) => ev.write.mode("overwrite").parquet(d),
@@ -517,7 +530,17 @@ object ScaleStudy {
         ("avro_pruned",
           (d: String) => graft.sources.AvroIO.write(ev, d),
           (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema,
-            Seq("ts", "event_type", "value", "props"))))
+            Seq("ts", "event_type", "value", "props")))),
+        // ARRAY-payload legs (q66's complex-type surface): the
+        // embeddings table rep×, parquet's native list encoding vs
+        // AvroIO's recursive array path, aggregated by an in-row fold
+        // over every element — the feature-payload CDC shape
+        ("parquet_array",
+          (d: String) => emba.write.mode("overwrite").parquet(d),
+          (d: String) => aggArr(spark.read.parquet(d))),
+        ("avro_array",
+          (d: String) => graft.sources.AvroIO.write(emba, d),
+          (d: String) => aggArr(graft.sources.AvroIO.read(spark, d, embaSchema)))
       ).map { case (name, w, r) =>
         val d0 = fresh(name); w(d0); r(d0) // warm-up, untimed
         val samples = (1 to passes).map { _ =>
@@ -550,12 +573,23 @@ object ScaleStudy {
     // a distributed join + count, no row fetch.
     // "annroute": the ANN family ROUTING rule measured end to end —
     // IvfPq.calibrateRoute (both families built at the shared
-    // sampled-training budget, recall@3 measured on the 10 smallest
-    // coin-keyed queries against exact truth, route by margin)
+    // sampled-training budget, recall@3 measured on the coin-keyed
+    // calibration queries against exact truth, route by margin)
     // validated against an INDEPENDENT full measurement of both
-    // families on the study's own id-prefix queries. Run at the
-    // isotropic AND clustered decades: the record shows the
-    // calibration picking the measured winner wherever the gap
+    // families on a DEDICATED third coin's queries (graft-route-study|
+    // — disjoint from both training coins and the calibration coin).
+    // The round-10/11-take-1 study used id-prefix queries (vec_id <
+    // nq) here, which on the replicated decade corpora is a GEOMETRY-
+    // BIASED sample: ids 0..nq−1 are all replica-0 base vectors, and
+    // PQ's contiguous-subspace split is not invariant under the
+    // upscaler's per-replica dim rotations, so replica 0's ADC
+    // quantization error is not the corpus average (measured: adc
+    // recall 0.05 on the id prefix vs 0.19 on coin queries at iso
+    // ×10). A coin sample spreads queries across replicas — the
+    // estimate the router's own calibration is judged against must
+    // not carry a sampling bias the router avoided.
+    // Run at the isotropic AND clustered decades: the record shows
+    // the calibration picking the measured winner wherever the gap
     // exceeds the tie band. (Three O(sample) proxy signals were
     // measured and rejected before this landed on direct
     // calibration — BENCH_annroute_r10.jsonl carries every cut.)
@@ -568,8 +602,10 @@ object ScaleStudy {
       val vectors = emb.select(col("vec_id"), col("embedding"))
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         graft.queries.Similarity.dotBuiltin(a, b)
+      val studyCoin =
+        md5(concat(lit("graft-route-study|"), col("vec_id").cast("string")))
       def brute(nq: Int, byCosine: Boolean): org.apache.spark.sql.DataFrame = {
-        val q = broadcast(vectors.where(col("vec_id") < nq)
+        val q = broadcast(vectors.orderBy(studyCoin, col("vec_id")).limit(nq)
           .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
         val scored = vectors.select(col("vec_id"), col("embedding").as("ec"))
           .crossJoin(q).where(col("query_id") =!= col("vec_id"))
@@ -598,26 +634,34 @@ object ScaleStudy {
       val signalSec = (System.nanoTime() - t0) / 1e9
       val e = vectors.withColumn("norm",
         sqrt(dot(col("embedding"), col("embedding"))))
-      // independent truth at the calibration's own query budget — a
-      // 10-query study would re-introduce the ±0.07 estimate noise the
-      // NQ=40 calibration exists to remove
-      val studyNq = graft.queries.IvfPq.RouteCalibrationQueries
+      // independent truth at HIGHER precision than the calibration
+      // (300 hit slots, SE ≈ ±0.01): the reference measurement should
+      // be as precise as one bounded scan affords, so a calibration-
+      // vs-study disagreement reads as a real seam, not study noise
+      val studyNq = 100
+      val studyIds = vectors.orderBy(studyCoin, col("vec_id")).limit(studyNq)
+        .select("vec_id")
       val rKmeans = recallOf(
         graft.queries.Similarity.kmeansIvfCore(e, tmp("graft_ar_km_"),
-          k = k, probes = p0, trainCap = Some(cap)),
+          k = k, probes = p0, trainCap = Some(cap),
+          queryIds = Some(studyIds)),
         nq = studyNq, byCosine = true)
       val rRerank = recallOf(
         graft.queries.IvfPq.ivfPqCore(vectors, tmp("graft_ar_rr_c_"),
           tmp("graft_ar_rr_b_"), coarseK = k, probes = p0,
           trainCap = Some(cap), pqK = pqK,
-          rerankDepth = Some(graft.queries.IvfPq.RerankDepth)),
+          rerankDepth = Some(graft.queries.IvfPq.RerankDepth),
+          queryIds = Some(studyIds)),
         nq = studyNq, byCosine = false)
       val winner = if (rKmeans > rRerank) "kmeans_ivf"
         else if (rRerank > rKmeans) "ivfadc" else "tie"
-      // route_correct matches the router's OWN semantics: a
-      // disagreement whose independently-measured gap sits inside the
-      // declared tie band is a coin toss between near-equals, not a
-      // routing error — in_band carries that distinction explicitly.
+      // route_correct applies the router's OWN decision rule to the
+      // high-precision study recalls (raw cells only past the serving-
+      // cost margin — the contract is NOT "recall argmax"): correct =
+      // the calibration reached the same decision the precise
+      // measurement does. study_gap + in_band stay in the record so a
+      // reader can see how close the decision sat to the boundary.
+      val studyRoute = graft.queries.IvfPq.annRouteForRecalls(rKmeans, rRerank)
       val studyGap = math.abs(rKmeans - rRerank)
       val margin = graft.queries.IvfPq.RouteMargin
       spark.stop()
@@ -628,9 +672,10 @@ object ScaleStudy {
         s""""route_margin":$margin,""" +
         s""""signal_sec":$signalSec,""" +
         s""""route":"${cal.route}","kmeans_ivf":$rKmeans,"ivfpq_rerank":$rRerank,""" +
-        s""""winner":"$winner","study_gap":$studyGap,""" +
+        s""""winner":"$winner","study_route":"$studyRoute",""" +
+        s""""study_gap":$studyGap,""" +
         s""""in_band":${studyGap <= margin},""" +
-        s""""route_correct":${winner == "tie" || cal.route == winner || studyGap <= margin},""" +
+        s""""route_correct":${cal.route == studyRoute},""" +
         s""""sf":"$sfDir"}""")
       return
     }
