@@ -531,6 +531,12 @@ object ScaleStudy {
           (d: String) => graft.sources.AvroIO.write(ev, d),
           (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema,
             Seq("ts", "event_type", "value", "props")))),
+        // per-block deflate: the lever on the row format's byte-volume
+        // gap (the r10 study's structural finding) — block compression
+        // keeps sync-marker splittability, unlike whole-file gzip
+        ("avro_deflate",
+          (d: String) => graft.sources.AvroIO.write(ev, d, codec = "deflate"),
+          (d: String) => agg(graft.sources.AvroIO.read(spark, d, base0.schema))),
         // ARRAY-payload legs (q66's complex-type surface): the
         // embeddings table rep×, parquet's native list encoding vs
         // AvroIO's recursive array path, aggregated by an in-row fold

@@ -180,11 +180,30 @@ object AvroIO {
     case (other, _)                    => other
   }
 
+  /** Container-file compression codec for [[write]]: `"null"` (no
+    * compression), `"deflate"` (JDK zlib — always available), or
+    * `"snappy"` (snappy-java, shipped with Spark). Avro compresses
+    * PER BLOCK inside the container, so sync-marker splitting — the
+    * property that keeps reads parallel at 100 TB — survives
+    * compression untouched (unlike whole-file gzip on text formats,
+    * which kills splittability). Readers auto-detect the codec from
+    * the block metadata; no read-side option exists or is needed.
+    */
+  private def codecFor(codec: String): Option[org.apache.avro.file.CodecFactory] =
+    codec match {
+      case "null"    => None
+      case "deflate" => Some(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      case "snappy"  => Some(org.apache.avro.file.CodecFactory.snappyCodec())
+      case other => throw new IllegalArgumentException(
+        s"AvroIO: unsupported codec '$other' (null | deflate | snappy)")
+    }
+
   /** Write `df` as Avro container files under `dir` (one file per
     * non-empty partition), replacing any prior content. File size is
     * governed the same way as parquet sinks — by the partitioning of
     * the incoming frame; the read side does not care (sync-marker
-    * splits decouple scan parallelism from file layout).
+    * splits decouple scan parallelism from file layout). `codec`
+    * selects per-block compression ([[codecFor]]).
     *
     * Commit discipline: each task writes an attempt-unique dot-temp
     * and renames it to its final `part-NNNNN.avro` name only after a
@@ -192,7 +211,8 @@ object AvroIO {
     * readable data files (the rename-on-success contract every Hadoop
     * output committer provides; first attempt to rename wins).
     */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, codec: String = "null"): Unit = {
+    codecFor(codec) // vet the name on the DRIVER, before any task runs
     val schemaJson = avroSchemaFor(df.schema).toString
     val sparkSchema = df.schema
     val confSer = new SerializableHadoopConf(
@@ -217,6 +237,7 @@ object AvroIO {
         val dst = new Path(dir, f"part-$pid%05d.avro")
         val taskFs = tmp.getFileSystem(confSer.value)
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        codecFor(codec).foreach(writer.setCodec)
         var committed = false
         try {
           writer.create(schema, taskFs.create(tmp, true))

@@ -231,6 +231,33 @@ class AvroIOSpec extends SparkSpec {
     assert(err.getMessage.contains("string-keyed"))
   }
 
+  test("codecs: deflate and snappy round-trip identically and compress; bad name fails loud") {
+    val base = graft.core.TempDirs.create("avro_rt")
+    val rows = (0L until 400L).map(i =>
+      Row(i, i.toInt, i / 2.0, i % 2 == 0,
+        s"repetitive payload repetitive payload $i",
+        Array[Byte](i.toByte), new Timestamp(1700000000000L + i)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    def bytes(dir: String): Long = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.length).sum
+    def idSum(dir: String): Long = AvroIO.read(spark, dir, schema)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0)
+    AvroIO.write(df, s"$base/plain")
+    for (codec <- Seq("deflate", "snappy")) {
+      AvroIO.write(df, s"$base/$codec", codec)
+      // readers auto-detect the codec from block metadata — same read
+      // path, same values
+      assert(idSum(s"$base/$codec") === idSum(s"$base/plain"), codec)
+      assert(AvroIO.read(spark, s"$base/$codec", schema).count() === 400, codec)
+    }
+    assert(bytes(s"$base/deflate") < bytes(s"$base/plain"),
+      "deflate must shrink the repetitive payload")
+    val err = intercept[IllegalArgumentException] {
+      AvroIO.write(df, s"$base/bad", "zstd9000")
+    }
+    assert(err.getMessage.contains("zstd9000"))
+  }
+
   test("schema mapping: nullable fields become union(null, T), micros logical type") {
     val av = AvroIO.avroSchemaFor(schema)
     import org.apache.avro.Schema
