@@ -586,4 +586,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no cartesian in the merge:\n$p")
   }
+
+  test("dd_pipeline_manifest: no cartesian, one survivor window, broadcast hit frames") {
+    val p = plan("dd_pipeline_manifest")
+    // no unbounded pair blowup anywhere in the 7-stage composition
+    assert(!p.contains("CartesianProduct"), s"cartesian in the pipeline:\n$p")
+    // the two BroadcastNestedLoopJoins are contamEmbed's deliberate
+    // 1-row eval-array broadcast (its own spec pins that shape) — any
+    // OTHER nested-loop join would be a real regression
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$p")
+    // exactly one window: the domain-cap rank over post-pipeline
+    // survivors (everything upstream is joins/aggregates)
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows === 1, s"expected the one survivor-cap window, got $windows:\n$p")
+  }
 }
