@@ -886,6 +886,51 @@ object StreamingQueries extends QueryModule {
       .orderBy("phase", "doc_id")
   }
 
+  /** STREAMING DECONTAMINATION AT INGEST — the eval-screen step of the
+    * curation pipeline run where a crawl pipeline actually runs it
+    * (alongside [[stLshDedup]]'s admission near-dedup): documents
+    * arrive as a stream, each shingles IN the stream (the
+    * [[Dedup.shingleDocs]] derivation — pure row expressions), and
+    * probes the held-out benchmark's shingle set. The eval side is
+    * STATIC by nature (a benchmark suite is a fixed artifact), so it
+    * batch-reads once, distinct-collapses, and BROADCASTS — each
+    * micro-batch pays a stateless map-side hash probe (the
+    * [[stEnrich]] stream-static shape; [[Dedup.contam]]'s
+    * `broadcastTest = true` posture), and the only state is the
+    * per-flagged-doc hit aggregate. Checked against `dd_contam`'s
+    * oracle VERBATIM: the screen must be result-invisible to how the
+    * corpus arrived — the batch≡stream contract of st_word_count /
+    * st_enrich extended to the decontamination screen.
+    */
+  def stContam(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    // eval shingles: static batch read of the same table (the fixed
+    // benchmark suite), distinct-collapsed so each train shingle can
+    // hit at most once per eval membership
+    val testSh = s.read.parquet(path)
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(explode(array_distinct(
+        graft.functions.WordShingles.of(col("text")))).as("shingle"))
+      .distinct()
+    // [d] glob: single-file table, same reason as stWordCount
+    val train = s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet")
+      .where(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.WordShingles.of(col("text"))).as("shd"))
+      .select(col("doc_id"), size(col("shd")).as("n_sh"),
+        explode(col("shd")).as("shingle"))
+    val agg = train.join(broadcast(testSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit"),
+        // every row of a doc carries the same n_sh; max is order-free
+        max(col("n_sh")).as("n_sh"))
+    runToCompletion(s, agg, "st_contam_sink")
+      .select(col("doc_id"), col("n_hit"), col("n_sh"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("contam_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** STREAMING CDC APPLY — the composition the lakehouse rows (q55/
     * q60/q61/q62) and the streaming rows prove separately, run as one
     * pipeline: a multi-version change stream arrives in micro-batches
@@ -990,6 +1035,7 @@ object StreamingQueries extends QueryModule {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_contam" -> (stContam _),
     "st_lsh_dedup" -> (stLshDedup _),
     "st_merge_cdc" -> (stMergeCdc _),
     "st_tws_count" -> (stTwsCount _),
@@ -1038,6 +1084,9 @@ object StreamingQueries extends QueryModule {
        |FROM allrows GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // dd_contam's oracle VERBATIM: the ingest-time screen must equal
+    // the batch screen exactly — batch≡stream for decontamination
+    "st_contam" -> Dedup.oracles("dd_contam"),
     "st_lsh_dedup" -> stLshDedupOracle,
     // q62's oracle VERBATIM: the streaming apply must converge to the
     // batch merge's exact audit — any batch-boundary sensitivity in
