@@ -310,7 +310,8 @@ object IvfPq {
     * round-10 record at NQ=10 (30 slots) showed calibration-vs-study
     * winner flips on both isotropic decades: a ±1–2-hit estimate is
     * ±0.03–0.07 recall, the same order as those corpora's true gaps.
-    * 40 queries quarters the standard error (±~0.017) so a flip can
+    * 40 queries halves the standard error (quarters the variance;
+    * ±~0.017) so a flip can
     * only happen inside the declared tie band, where [[RouteCalibration
     * .inBand]] already reports the decision as a coin toss between
     * near-equals. The exact-truth pass stays ONE bounded linear scan
