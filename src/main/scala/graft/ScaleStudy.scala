@@ -332,6 +332,9 @@ object ScaleStudy {
                 .select(col("doc_id"),
                   graft.functions.WordShingles.of(col("text")).as("sh"),
                   col("ts"), col("phase")), "ts", "phase")
+            // null-signature guard, as st_lsh_dedup: a null band_val
+            // must not reach the keyed state
+            .where(col("band_val").isNotNull)
             .select(concat(col("band_idx").cast("string"), lit(":"),
                 col("band_val")).as("band_key"),
               col("doc_id"), col("phase"), col("ts"))

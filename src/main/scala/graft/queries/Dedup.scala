@@ -238,14 +238,23 @@ object Dedup extends QueryModule {
         graft.functions.MinhashSig.sig(col("sh"), NumHashes).as("sig") +:
         kept: _*)
       .select(col("doc_id") +:
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band_idx"),
-            substring(col("sig"), b * BandRows * 8 + 1, BandRows * 8)
-              .as("band_val"))): _*)).as("band") +:
+        explode(array(bandStructsOf(col("sig")): _*)).as("band") +:
         kept: _*)
       .select(col("doc_id") +: col("band.band_idx") +: col("band.band_val") +:
         kept: _*)
   }
+
+  /** The [[Bands]]×[[BandRows]] hex-slice (band_idx, band_val) structs
+    * over a minhash signature column — the banding arithmetic under
+    * [[bandsOf]], factored so the ingest curation pipeline
+    * ([[StreamingQueries.stPipeline]]) can prepend its
+    * exact-fingerprint pseudo-band to the SAME slices inside one fused
+    * explode (one scan, no stream self-union).
+    */
+  private[graft] def bandStructsOf(sig: Column): Seq[Column] =
+    (0 until Bands).map(b =>
+      struct(lit(b).as("band_idx"),
+        substring(sig, b * BandRows * 8 + 1, BandRows * 8).as("band_val")))
 
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // persist: the shingle pipeline feeds the minhash build AND both

@@ -857,6 +857,13 @@ object StreamingQueries extends QueryModule {
       .bandsOf(src.select(col("doc_id"),
         graft.functions.WordShingles.of(col("text")).as("sh"),
         col("ts"), col("phase")), "ts", "phase")
+      // a null signature (MinhashSig of an empty/all-null shingle
+      // array — impossible from WordShingles on non-null text, but a
+      // null text row would mint one) must not reach the keyed state:
+      // its band_key would concat to NULL, whereas the oracle's
+      // banding CTE drops such docs implicitly (NULLs match nothing
+      // in its joins) — drop the rows here to match
+      .where(col("band_val").isNotNull)
       .select(
         concat(col("band_idx").cast("string"), lit(":"), col("band_val"))
           .as("band_key"),

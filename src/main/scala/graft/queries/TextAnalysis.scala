@@ -384,14 +384,18 @@ object TextAnalysis extends QueryModule {
     * so the spec can run the rules on a crafted fixture. One staged
     * token array + the one-pass [[graft.functions.RepSig]] kernel; every
     * rule is a pure per-row comparison on exact integer/explicit-double
-    * operands, so both engines decide each rule identically.
+    * operands, so both engines decide each rule identically. `carry`
+    * names extra columns threaded through unchanged (the streaming
+    * pipeline scores the rules mid-stream and keeps its event-time /
+    * screen columns alongside).
     */
-  private[graft] def gopherRules(d: DataFrame): DataFrame =
-    d.select(col("lang"), col("doc_id"),
+  private[graft] def gopherRules(d: DataFrame, carry: String*): DataFrame =
+    d.select(Seq(col("lang"), col("doc_id"),
         graft.functions.RepSig.of(col("text")).as("__r"),
         filter(toks, t => t =!= "").as("__w"),
-        length(regexp_replace(col("text"), " ", "")).as("__letters"))
-      .select(col("lang"), col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).as("__letters")) ++
+        carry.map(col): _*)
+      .select(Seq(col("lang"), col("doc_id"),
         col("__r.n_tokens").as("n_tokens"),
         (col("__r.n_tokens") >= GopherMinTokens &&
           col("__r.n_tokens") <= GopherMaxTokens).as("ok_len"),
@@ -409,7 +413,8 @@ object TextAnalysis extends QueryModule {
         ((col("__r.n_tokens") - col("__r.n_distinct")).cast("double") <=
           lit(GopherMaxDupRatio) * col("__r.n_tokens")).as("ok_dup"),
         (size(filter(col("__w"), t => t.rlike("[^a-z0-9]"))).cast("double") <=
-          lit(GopherMaxSymbolRatio) * col("__r.n_tokens")).as("ok_symbol"))
+          lit(GopherMaxSymbolRatio) * col("__r.n_tokens")).as("ok_symbol")) ++
+        carry.map(col): _*)
 
   /** Gopher-style quality-rule FILTER — the multi-rule document gate a
     * pretraining pipeline runs before dedup (cf. Gopher/MassiveText,
