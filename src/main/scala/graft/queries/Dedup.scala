@@ -2069,9 +2069,17 @@ object Dedup extends QueryModule {
     * side runs, and the domain-cap rank computed over the SQL-derived
     * survivor set.
     */
-  private lazy val pipelineManifestOracle: String = {
+  /** The SCREEN-stage CTE fragments shared by the batch pipeline
+    * manifest and the streaming `st_pipeline` oracle: the lexical
+    * eval-shingle screen (→ `lexd`: train docs whose overlap ratio
+    * clears [[PipelineLexTau]]), the semantic eval-cosine screen
+    * (→ `semd`), the gopher rules (→ `gq(doc_id, gok)`), and the
+    * train-side exact fingerprints (→ `fpt(doc_id, f)`). Assumes the
+    * shingle CTEs (`w`, `s`) precede it in the WITH chain.
+    */
+  private[graft] lazy val pipelineScreenCtes: String = {
     val stop = TextAnalysis.GopherStopwords.map(w => s"'$w'").mkString(", ")
-    s"""$shingleCte, t AS (
+    s"""t AS (
        |  SELECT DISTINCT unnest(list_distinct(sh)) AS shingle
        |  FROM s WHERE doc_id % $ContamBothEvalMod = 0
        |), tr AS (
@@ -2125,7 +2133,11 @@ object Dedup extends QueryModule {
        |), fpt AS (
        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
        |  FROM documents WHERE doc_id % $ContamBothEvalMod <> 0
-       |), exd AS (
+       |)""".stripMargin
+  }
+
+  private lazy val pipelineManifestOracle: String = {
+    s"""$shingleCte, $pipelineScreenCtes, exd AS (
        |  SELECT DISTINCT a.doc_id FROM fpt a
        |  JOIN fpt b ON a.f = b.f AND b.doc_id < a.doc_id
        |), prs AS (

@@ -526,6 +526,121 @@ class StreamingSpec extends SparkSpec {
       coll.toString)
   }
 
+  test("st_pipeline: composed ingest curation screens, admits, evicts, and self-drops") {
+    import graft.queries.StreamingQueries
+    val rows = StreamingQueries.stPipeline(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3), r.getString(4)))
+      .toSeq // (phase, doc_id, n_bands, stage)
+    val progress = StreamingQueries.lastPipeProgress.mkString("\n")
+    assert(progress.contains("transformWithState"),
+      s"expected the transformWithState operator in progress:\n$progress")
+    assert(progress.contains("rocksdb"),
+      "the pipeline's admission index must run on the RocksDB provider")
+    // banding completeness: train docs probe fp + all LSH bands, the
+    // holdout diversion logs exactly one pass-through row
+    val (hold, train) = rows.partition(_._4 == "holdout")
+    assert(hold.nonEmpty && hold.forall(_._3 === 1),
+      "holdout rows must carry exactly the one pass-through band")
+    assert(train.nonEmpty &&
+      train.forall(_._3 === graft.queries.Dedup.Bands + 1),
+      "every train doc-instance must probe fingerprint + all LSH bands")
+    def stages(p: Int) = rows.filter(_._1 == p).map(_._4).toSet
+    // phase 0: the screens and the admission index all fire on the
+    // real corpus (exact cannot — no byte dups; phase 2 supplies it)
+    assert(Set("holdout", "near_dup", "kept").subsetOf(stages(0)), stages(0).toString)
+    assert((stages(0) & Set("contam_lex", "contam_sem", "gopher")).nonEmpty,
+      s"no stateless screen fired in phase 0: ${stages(0)}")
+    // phase 2: live fingerprint claims self-drop their re-arrival...
+    assert(stages(2).contains("exact"), "no live claim self-dropped its re-send")
+    // ...while evicted claims re-admit and fall through to the screens
+    assert((stages(2) - "exact" - "holdout").nonEmpty,
+      "no evicted claim was ever readmitted to the screen stages")
+    // screens are doc-constant: a phase-2 arrival that cleared BOTH
+    // admission indexes (fp evicted + re-admitted, no band collision)
+    // must land on exactly its phase-0 stage
+    val p0stage = rows.filter(_._1 == 0).map(r => r._2 -> r._4).toMap
+    val readmitted = rows.filter(r =>
+      r._1 == 2 && r._4 != "exact" && r._4 != "near_dup" && r._4 != "holdout")
+    assert(readmitted.nonEmpty)
+    for ((_, d, _, st) <- readmitted)
+      assert(p0stage(d) === st,
+        s"doc $d: phase-2 stage $st != phase-0 stage ${p0stage(d)}")
+  }
+
+  test("pipeline admission survives a kill-and-restore; holdout never claims") {
+    import spark.implicits._
+    // run 1: doc 2 claims textA's fingerprint + bands, same-batch twin
+    // doc 5 loses the min-doc race on every band. After the "crash",
+    // doc 12 (textA again) must collide on the RECOVERED claims —
+    // including the exact-fingerprint pseudo-band — doc 13 (fresh
+    // textB) must admit clean, holdout doc 20 (textC) must log exactly
+    // one collided=false pass-through row and leave NO claims, so
+    // train doc 23 (textC) admits clean right after it.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.queries.StreamingQueries.RocksDbProvider)
+    val srcDir = graft.core.TempDirs.create("pipekr_src")
+    val out = graft.core.TempDirs.create("pipekr_out")
+    val chk = ckpt()
+    val textA = "alpha beta gamma delta epsilon"
+    val textB = "zulu yankee xray whiskey victor"
+    val textC = "one two three four five six"
+    val t0Us = 1700000000000000L
+    def write(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val scratch = graft.core.TempDirs.create("pipekr_stage")
+      rows.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s0").as("source"), lit(null).cast("array<float>").as("emb"),
+          timestamp_micros(lit(t0Us)).as("ts"), lit(0).as("phase"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime), s"cannot set mtime on $dst")
+    }
+    // crafted screens: an eval shingle set and eval vector the fixture
+    // texts never hit — the screens' VALUES are pinned by the oracled
+    // gate; this test pins state recovery and the holdout diversion
+    val screens = ns.range(1).select(
+      array(lit("held out benchmark")).as("eval_sh"),
+      array(struct(lit(9L).as("eval_id"),
+        array(lit(1.0), lit(0.0)).as("emb"), lit(1.0).as("nrm"))).as("eval_vecs"),
+      lit(1).as("__one"))
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val src = ns.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "emb ARRAY<FLOAT>, ts TIMESTAMP, phase INT")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+      graft.queries.StreamingQueries.pipelineVerdicts(ns, src, screens)
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+    write("p0.parquet", 1700000000000L, 2L -> textA, 5L -> textA)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // the "crash"
+    write("p1.parquet", 1700000060000L,
+      12L -> textA, 13L -> textB, 20L -> textC, 23L -> textC)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val byDoc = spark.read.parquet(out)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("collided"), 1).otherwise(0)).as("n_coll"),
+        min("band_idx").as("min_band"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    val nb = graft.queries.Dedup.Bands.toLong + 1 // fp + LSH bands
+    assert(byDoc === Map(
+      2L -> ((nb, 0L, -1)), 5L -> ((nb, nb, -1)),
+      12L -> ((nb, nb, -1)), 13L -> ((nb, 0L, -1)),
+      20L -> ((1L, 0L, -2)), 23L -> ((nb, 0L, -1))), byDoc.toString)
+  }
+
   test("st_tws_session: v2 timer sessionization == legacy flatMapGroupsWithState") {
     import graft.queries.StreamingQueries
     // the two state APIs run the SAME gap semantics over the same
