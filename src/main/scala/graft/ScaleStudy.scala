@@ -233,8 +233,11 @@ object ScaleStudy {
     // keyspace state (st_dedup's shape: dropDuplicatesWithinWatermark),
     // the LSH near-dup ADMISSION index (st_lsh_dedup's shape: band →
     // first claimant, the store that grows with DISTINCT content
-    // rather than event volume), and the transformWithState v2 COUNTER
-    // store (st_tws_count's shape: keyspace-sized ValueState). Same
+    // rather than event volume), the transformWithState v2 COUNTER
+    // store (st_tws_count's shape: keyspace-sized ValueState), and the
+    // COMPOSED curation pipeline (st_pipeline's shape: both content
+    // indexes — fingerprint + LSH bands — behind the stateless
+    // screens). Same
     // chunked-source discipline: rep copies of the table, each
     // +32 days, one file per trigger — event time advances chunk to
     // chunk, so a WATERMARK-GOVERNED store holds ~one chunk's keys at
@@ -356,8 +359,29 @@ object ScaleStudy {
             .transformWithState(new graft.streaming.TwsCounter,
               TimeMode.None(), OutputMode.Append())
             .toDF()
+        case "pipeline" =>
+          // st_pipeline's COMPOSED shape over the same docs chunks:
+          // the stateless screens (gopher + lexical probe against the
+          // real sfDir eval shingles; no embeddings ride the upscaled
+          // chunks, so the sem screen is structurally present but
+          // never fires — declared) feeding the dual-index admission
+          // (fingerprint pseudo-band + LSH bands + holdout
+          // pass-through). State = one chunk's distinct band set PLUS
+          // its train fingerprints — still horizon-bounded, the
+          // invariant under test at ×10/×100
+          graft.queries.StreamingQueries.pipelineVerdicts(s2,
+            s2.readStream
+              .schema("doc_id BIGINT, text STRING, ts TIMESTAMP, phase INT")
+              .option("maxFilesPerTrigger", "1").parquet(dsrc)
+              .withWatermark("ts", "1 hour")
+              .select(col("doc_id"), col("text"), lit("en").as("lang"),
+                lit("s0").as("source"),
+                lit(null).cast("array<float>").as("emb"),
+                col("ts"), col("phase")),
+            graft.queries.StreamingQueries.pipelineScreens(s2, sfDir))
+            .toDF()
       }
-      val results = Seq("join", "dedup", "lsh", "tws").map { shape =>
+      val results = Seq("join", "dedup", "lsh", "tws", "pipeline").map { shape =>
         val chk = java.nio.file.Files
           .createTempDirectory(s"graft_shapes_chk_${shape}_").toString
         val q = shaped(shape).writeStream.format("noop")

@@ -1011,9 +1011,15 @@ object StreamingQueries extends QueryModule {
       .join(broadcast(screens), Seq("__one"))
       .withColumn("sh", graft.functions.WordShingles.of(col("text")))
       .withColumn("shd", array_distinct(col("sh")))
+      // binary-search probe of the SORTED broadcast eval set —
+      // result-identical to size(array_intersect(shd, eval_sh)) on the
+      // distinct probe side, without array_intersect's per-row hash
+      // set over the whole benchmark array (see [[graft.functions
+      // .SortedHits]]; ~50× less per-doc work at the sf0.1 screen)
       .withColumn("lex", coalesce(
-        round(size(array_intersect(col("shd"), col("eval_sh"))).cast("double") /
-          size(col("shd")), 6) >= Dedup.PipelineLexTau, lit(false)))
+        round(graft.functions.SortedHits.of(col("shd"), col("eval_sh"))
+          .cast("double") / size(col("shd")), 6) >= Dedup.PipelineLexTau,
+        lit(false)))
       .withColumn("embd", expr("transform(emb, x -> cast(x as double))"))
       .withColumn("nrm", sqrt(expr("aggregate(embd, 0d, (a, x) -> a + x * x)")))
       .withColumn("sem", coalesce(expr(
