@@ -41,7 +41,11 @@ import org.apache.spark.sql.types._
   * string/binary map to their Avro primitives, `TimestampType` to
   * `long` with the `timestamp-micros` logical type (microsecond-exact
   * — the trap [[graft.queries.Relational.q43CsvRoundtrip]] documents
-  * for CSV is structural here: Avro's encoding IS micros), and
+  * for CSV is structural here: Avro's encoding IS micros),
+  * `DateType` to `int` with the `date` logical type (epoch days,
+  * negative pre-1970), `DecimalType(p, s)` to `bytes` with the
+  * `decimal` logical type (two's-complement unscaled value at the
+  * schema's fixed scale), and
   * COMPOSITES recursively: arrays, string-keyed maps, and nested
   * structs to Avro arrays/maps/records (q66_avro_complex gates the
   * embeddings table — `array<float>` — riding this source), with
@@ -90,6 +94,17 @@ object AvroIO {
     case BinaryType  => Schema.create(Schema.Type.BYTES)
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      // Avro `date` logical type: days since the epoch as int —
+      // negative for pre-1970, no time zone anywhere (structural, like
+      // timestamp-micros above)
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case dt: DecimalType =>
+      // Avro `decimal` logical type over bytes: two's-complement
+      // unscaled value at the SCHEMA's fixed scale (the spec's
+      // requirement — scale travels in the schema, not per value)
+      LogicalTypes.decimal(dt.precision, dt.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, containsNull) =>
       Schema.createArray(nullable(avroTypeFor(et, s"${path}_item"), containsNull))
     case MapType(StringType, vt, valueContainsNull) =>
@@ -128,6 +143,15 @@ object AvroIO {
     // encoding (nanos already carry the sub-second part, [0, 1e9))
     case (i: java.time.Instant, _) =>
       i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case (d: java.sql.Date, _) => d.toLocalDate.toEpochDay.toInt
+    // with spark.sql.datetime.java8API.enabled=true Row.get hands back
+    // java.time.LocalDate for DateType — same epoch-days encoding
+    case (d: java.time.LocalDate, _) => d.toEpochDay.toInt
+    case (b: java.math.BigDecimal, dt: DecimalType) =>
+      // setScale with no rounding mode is exact-or-throw: a value whose
+      // scale disagrees with the column's declared scale fails LOUDLY
+      // here instead of silently rescaling
+      ByteBuffer.wrap(b.setScale(dt.scale).unscaledValue().toByteArray)
     case (b: Array[Byte], _) => ByteBuffer.wrap(b)
     case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
       val es = nonNullOf(nonNullOf(sch).getElementType)
@@ -151,9 +175,10 @@ object AvroIO {
       rec
     // fail HERE with the runtime class, not deep inside Avro's union
     // writer: schema mapping already vetted the DataFrame types, so a
-    // surprise can only be an external-type variant (e.g. LocalDate)
-    // this bridge does not handle yet
-    case (d @ (_: java.time.LocalDate | _: java.sql.Date), _) =>
+    // surprise can only be an external-type variant this bridge does
+    // not handle yet (e.g. LocalDateTime for a TimestampNTZ column —
+    // a type avroSchemaFor would have rejected anyway)
+    case (d: java.time.temporal.Temporal, _) =>
       throw new IllegalArgumentException(
         s"AvroIO: unsupported runtime value type ${d.getClass.getName}")
     case (other, _) => other
@@ -166,6 +191,11 @@ object AvroIO {
       val micros = m.longValue()
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (bb: ByteBuffer, dt: DecimalType) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a), dt.scale)
     case (bb: ByteBuffer, BinaryType)  =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
     // GenericData.Array implements java.util.Collection; elements

@@ -55,6 +55,39 @@ class AvroIOSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("date and decimal logical types round-trip exactly, pre-1970 and nulls included") {
+    val dir = graft.core.TempDirs.create("avro_rt") + "/t_dd"
+    val ddSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = true),
+      StructField("money", DecimalType(12, 2), nullable = true),
+      StructField("tiny", DecimalType(4, 3), nullable = true)))
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2026-03-01"), dec("12345.67"), dec("0.001")),
+      // pre-1970: negative epoch days; negative unscaled decimal bytes
+      Row(2L, java.sql.Date.valueOf("1969-12-31"), dec("-0.01"), dec("-9.999")),
+      Row(3L, java.sql.Date.valueOf("1900-02-28"), dec("9999999999.99"), dec("0.000")),
+      Row(4L, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), ddSchema)
+    AvroIO.write(df, dir)
+    // the writer schema carries the logical types (spec: scale/precision
+    // travel in the schema)
+    val ws = AvroIO.avroSchemaFor(ddSchema).toString
+    assert(ws.contains("\"logicalType\":\"date\""), ws)
+    assert(ws.contains("\"logicalType\":\"decimal\"") &&
+      ws.contains("\"precision\":12") && ws.contains("\"scale\":2"), ws)
+    val back = AvroIO.read(spark, dir, ddSchema)
+    assert(back.schema("money").dataType === DecimalType(12, 2))
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val want = rows.map(r => (r.getLong(0), r.get(1),
+      Option(r.get(2)).map(_.asInstanceOf[java.math.BigDecimal].setScale(2)).orNull,
+      Option(r.get(3)).map(_.asInstanceOf[java.math.BigDecimal].setScale(3)).orNull)).toSet
+    assert(got === want, s"got $got")
+  }
+
   test("timestamps survive at exact microsecond precision") {
     val dir = graft.core.TempDirs.create("avro_rt") + "/t2"
     val t = Timestamp.valueOf("2026-03-01 12:34:56.123456")
