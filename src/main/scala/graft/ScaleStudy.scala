@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * caches cleared between passes, min reported).
   *
   * Usage: runMain graft.ScaleStudy <sfDir> [passes]
-  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|annroute|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|stream_shapes|knn_join|knn_join_capped|contam_embed|formats]
+  *   [embed_lsh|semdedup|semdedup_sampled|semdedup_capped|ivfpq|ivfpq_sampled|recall|annroute|bpe_merges|rowops|r7ops|r7ops2|lenctl|streaming|stream_shapes|wc|knn_join|knn_join_capped|contam_embed|formats]
   * Prints one JSON line; never run concurrently with Bench.
   *
   * `semdedup_sampled` / `ivfpq_sampled` are the rule paths with
@@ -410,6 +410,72 @@ object ScaleStudy {
       spark.stop()
       println(s"""{"metric":"stream_shapes","rep":$rep,""" +
         results.mkString("", ",", ",") + s""""sf":"$sfDir"}""")
+      return
+    }
+
+    // "wc": the HEADLINE surface at ×rep corpus volume — the one
+    // pipeline the scale studies never measured directly (the golden
+    // tests and the bench headline both run the reference's 13 MB
+    // corpus as-is). Stages SPARK_GRAFT_WC_REP copies of the 130 chunk
+    // files (130 MB / 1.3 GB at rep 10/100), then closes the "would
+    // the reference's own query survive 100×?" question three ways:
+    //   - plan shape: the pipeline must STAY text scan → codegen'd
+    //     tokenize/normalize/filter → partial agg → ONE word-keyed
+    //     exchange → final agg at every volume (the same assert as
+    //     PlanShapeSpec's gate-scale check, here on the ×rep corpus);
+    //   - answer shape: vocabulary is volume-invariant (replication
+    //     adds no new words) and every count scales EXACTLY ×rep —
+    //     checked against the 13 MB golden totals;
+    //   - throughput: min-of-`passes` wall + tokens/s on the Bench
+    //     headline's own token denominator (2,297,140 per replica).
+    if (study == "wc") {
+      val rep = sys.env.get("SPARK_GRAFT_WC_REP").map(_.toInt).getOrElse(10)
+      val srcFiles = new java.io.File("/root/reference/file_chunks_130")
+        .listFiles().filter(_.getName.endsWith(".txt")).sortBy(_.getName)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_wc_corpus_").toString
+      var bytes = 0L
+      (0 until rep).foreach { r =>
+        srcFiles.foreach { f =>
+          bytes += f.length()
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(dir, f"rep$r%03d_${f.getName}"))
+        }
+      }
+      val df = graft.core.WordCount.run(spark, Seq(dir))
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges =
+        "Exchange hashpartitioning\\(word".r.findAllIn(plan).size
+      require(exchanges == 1,
+        s"wc at rep $rep must keep exactly ONE word-keyed exchange:\n$plan")
+      require(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"wc at rep $rep grew join work it never had:\n$plan")
+      // answer invariance vs the 13 MB golden corpus: same vocabulary,
+      // every count ×rep (one untimed aggregate pass)
+      import org.apache.spark.sql.functions._
+      val one = graft.core.WordCount
+        .run(spark, Seq("/root/reference/file_chunks_130"))
+      val mismatch = df.join(one.withColumnRenamed("count", "c1"), Seq("word"), "full_outer")
+        .where(coalesce(col("count"), lit(-1L)) =!=
+          coalesce(col("c1"), lit(-1L)) * rep)
+        .count()
+      require(mismatch == 0,
+        s"wc at rep $rep: $mismatch words broke count = rep × golden")
+      val agg = df.agg(count(lit(1)), sum("count")).collect()(0)
+      val (nWords, nTokens) = (agg.getLong(0), agg.getLong(1))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.core.WordCount.run(spark, Seq(dir))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val wall = (1 to passes).map(_ => once()).min
+      spark.stop()
+      println(s"""{"metric":"wc_scale","rep":$rep,"files":${srcFiles.length * rep},""" +
+        s""""bytes":$bytes,"distinct_words":$nWords,"total_tokens":$nTokens,""" +
+        s""""exchanges":$exchanges,"wall_sec":$wall,""" +
+        s""""tokens_per_sec":${(2297140L * rep / wall).toLong},"sf":"ref_chunks_130"}""")
       return
     }
 
@@ -899,7 +965,8 @@ object ScaleStudy {
       case other =>
         sys.error(s"unknown study '$other' (embed_lsh|semdedup|semdedup_sampled|" +
           "semdedup_capped|ivfpq|ivfpq_sampled|recall|bpe_merges|rowops|r7ops|" +
-          "r7ops2|lenctl|streaming|knn_join|knn_join_capped|contam_embed|formats)")
+          "r7ops2|lenctl|streaming|stream_shapes|wc|knn_join|knn_join_capped|" +
+          "contam_embed|formats)")
     }
     def once(): Double = {
       val t0 = System.nanoTime()
