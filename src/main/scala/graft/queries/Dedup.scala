@@ -457,7 +457,7 @@ object Dedup extends QueryModule {
     postings.join(ok.hint("shuffle_hash"), Seq("lang", "shingle"), "left_semi")
   }
 
-  private def dot(x: Column, y: Column): Column = {
+  private[graft] def dot(x: Column, y: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
   }
@@ -1598,10 +1598,17 @@ object Dedup extends QueryModule {
   private[graft] val ContamEmbedMaxEval = 65536L
 
   private[graft] def contamEmbed(emb: DataFrame, evalMod: Long): DataFrame = {
+    // norms and dots ride the codegen'd [[graft.functions.DotProduct]]
+    // kernel on the RAW float arrays — bit-identical to the staged
+    // transform-to-double + zip_with/aggregate folds it replaced
+    // (float→double widening is exact, same products, same left fold —
+    // DotProductSpec pins it), but the per-(row, eval) work drops from
+    // two interpreted lambdas + a zipped intermediate array to one
+    // tight loop: this screen is |train|·|eval| dots, the hot kernel
+    // of both dd_contam_embed and st_pipeline's ingest sem screen
     val e = emb
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("emb"))
-      .withColumn("nrm", sqrt(expr("aggregate(emb, 0d, (a, x) -> a + x * x)")))
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val isEval = pmod(col("vec_id"), lit(evalMod)) === 0
     // guard the benchmark-sized-eval assumption before building the
     // one-row payload: one count over the (small by contract) eval
@@ -1619,11 +1626,11 @@ object Dedup extends QueryModule {
       .agg(sort_array(collect_list(col("ev"))).as("evals"))
     e.where(!isEval)
       .crossJoin(broadcast(evalArr))
-      .withColumn("cos_arr", expr(
-        """transform(evals, ev -> struct(
-          |  round(aggregate(zip_with(emb, ev.emb, (x, y) -> x * y),
-          |    0d, (a, v) -> a + v) / (nrm * ev.nrm), 6) AS cosine,
-          |  ev.eval_id AS eval_id))""".stripMargin))
+      .withColumn("cos_arr", transform(col("evals"), ev =>
+        struct(
+          round(dot(col("emb"), ev.getField("emb")) /
+            (col("nrm") * ev.getField("nrm")), 6).as("cosine"),
+          ev.getField("eval_id").as("eval_id"))))
       .withColumn("hits",
         expr(s"filter(cos_arr, c -> c.cosine >= $ContamEmbedTau)"))
       .where(size(col("hits")) > 0)

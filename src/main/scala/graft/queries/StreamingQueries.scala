@@ -965,9 +965,8 @@ object StreamingQueries extends QueryModule {
       .agg(sort_array(collect_list(col("sng"))).as("eval_sh"))
     val ev = s.read.parquet(s"$dir/embeddings.parquet")
       .where(pmod(col("vec_id"), lit(Dedup.ContamBothEvalMod)) === 0)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("emb"))
-      .withColumn("nrm", sqrt(expr("aggregate(emb, 0d, (a, x) -> a + x * x)")))
+      .select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", sqrt(Dedup.dot(col("emb"), col("emb"))))
     val nEval = ev.count()
     require(nEval <= Dedup.ContamEmbedMaxEval,
       s"st_pipeline: eval set has $nEval rows > ${Dedup.ContamEmbedMaxEval} — " +
@@ -1020,13 +1019,15 @@ object StreamingQueries extends QueryModule {
         round(graft.functions.SortedHits.of(col("shd"), col("eval_sh"))
           .cast("double") / size(col("shd")), 6) >= Dedup.PipelineLexTau,
         lit(false)))
-      .withColumn("embd", expr("transform(emb, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(expr("aggregate(embd, 0d, (a, x) -> a + x * x)")))
-      .withColumn("sem", coalesce(expr(
-        s"""exists(eval_vecs, ev ->
-           |  round(aggregate(zip_with(embd, ev.emb, (x, y) -> x * y),
-           |    0d, (a, v) -> a + v) / (nrm * ev.nrm), 6)
-           |  >= ${Dedup.ContamEmbedTau})""".stripMargin), lit(false)))
+      // the sem screen's |eval| dots per doc ride the codegen'd
+      // DotProduct kernel on the raw float arrays (contamEmbed's
+      // arithmetic verbatim — same widening, same fold)
+      .withColumn("nrm", sqrt(Dedup.dot(col("emb"), col("emb"))))
+      .withColumn("sem", coalesce(
+        exists(col("eval_vecs"), ev =>
+          round(Dedup.dot(col("emb"), ev.getField("emb")) /
+            (col("nrm") * ev.getField("nrm")), 6) >= Dedup.ContamEmbedTau),
+        lit(false)))
       .withColumn("fp", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
       .withColumn("holdout",
         pmod(col("doc_id"), lit(Dedup.ContamBothEvalMod)) === 0)
