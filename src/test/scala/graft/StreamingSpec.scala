@@ -606,7 +606,9 @@ class StreamingSpec extends SparkSpec {
     val screens = ns.range(1).select(
       array(lit("held out benchmark")).as("eval_sh"),
       array(struct(lit(9L).as("eval_id"),
-        array(lit(1.0), lit(0.0)).as("emb"), lit(1.0).as("nrm"))).as("eval_vecs"),
+        // array<float> like the real eval embeddings — the sem screen's
+        // DotProduct kernel is float-typed (d9e0462)
+        array(lit(1.0f), lit(0.0f)).as("emb"), lit(1.0).as("nrm"))).as("eval_vecs"),
       lit(1).as("__one"))
     def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
       val src = ns.readStream
