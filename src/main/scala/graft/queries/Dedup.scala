@@ -1308,6 +1308,13 @@ object Dedup extends QueryModule {
         .withColumn("pr", expr(s"((${PrScale}L div n_nodes) * 15) div 100" +
           s" + ($PrDamp * s) div 100"))
         .select("doc_id", "deg", "n_nodes", "pr")
+        // materialize each superstep (same discipline as KmeansIvf
+        // .train): pr_k appears TWICE in pr_{k+1}'s plan (contrib +
+        // the re-join), so an unmaterialized loop re-derives every
+        // earlier round 2^Δ times wherever exchange reuse misses, and
+        // plan depth grows per round. One row per node — the
+        // checkpoint is tiny at any scale.
+        .localCheckpoint(eager = true)
     }
     val out = pr.select(col("doc_id"), col("deg"), col("pr"))
       .orderBy("doc_id")

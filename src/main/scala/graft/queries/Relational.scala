@@ -1248,9 +1248,22 @@ object Relational extends QueryModule {
     * training ingest: per profiled column, row/null/distinct counts and
     * a typed min/max rendering, unpivoted to one row per column.
     *
-    * ONE corpus pass computes every metric (a single aggregate whose
-    * partials merge; the multi-column COUNT(DISTINCT) plans the same
-    * Expand as q12), then a 1-row stack() unpivots driver-side-free.
+    * Shape (round-12 optimization, guide §2.3/§2.4): one two-level
+    * aggregation PER COLUMN, unioned. The previous single-pass form —
+    * one aggregate with six COUNT(DISTINCT)s — planned a 7-way Expand
+    * of the full fact scan AND fell back to SortAggregate (the
+    * min/max(l_returnflag) string buffers disqualify HashAggregate),
+    * so the whole 7×-fanned corpus was sorted on a 7-part key: 6.6 s
+    * of the query's 9.8 s at gate scale, and at 100 TB a full-corpus
+    * sort of 7× the input bytes. Per column, groupBy(value) is a
+    * codegen HashAggregate whose partials collapse map-side (the
+    * exchange carries one row per DISTINCT value, not per input row),
+    * and every metric falls out of the grouped (value, cnt) frame:
+    * rows = Σcnt, nulls = Σcnt|null, distinct = count(value),
+    * min/max over the group keys. Each branch scans ONE parquet
+    * column (column pruning per branch), so six narrow scans replace
+    * one 7×-expanded wide sort. Values are unchanged — the DuckDB
+    * oracle (itself a per-column UNION ALL) re-verified hash-equal.
     * Doubles render as exact cents and timestamps as formatted UTC —
     * the repo-wide oracle rule that float-to-string is never hashed.
     * At 100 TB the distinct counts swap to approx_count_distinct
@@ -1268,20 +1281,19 @@ object Relational extends QueryModule {
       ("l_shipdate", col("l_shipdate"),
         c => date_format(c, "yyyy-MM-dd HH:mm:ss")),
     )
-    val aggs = cols.flatMap { case (n, c, r) => Seq(
-      count(lit(1)).as(s"${n}__rows"),
-      (count(lit(1)) - count(c)).as(s"${n}__nulls"),
-      countDistinct(c).as(s"${n}__distinct"),
-      r(min(c)).as(s"${n}__min"),
-      r(max(c)).as(s"${n}__max"))
+    val branches = cols.map { case (n, c, r) =>
+      li.select(c.as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+          count(col("v")).as("n_distinct"),
+          r(min(col("v"))).as("min_repr"),
+          r(max(col("v"))).as("max_repr"))
+        .select(lit(n).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_repr"), col("max_repr"))
     }
-    val stackArgs = cols.map { case (n, _, _) =>
-      s"'$n', ${n}__rows, ${n}__nulls, ${n}__distinct, ${n}__min, ${n}__max"
-    }.mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)")
-      .orderBy("col_name")
+    branches.reduce(_.unionByName(_)).orderBy("col_name")
   }
 
   /** The profile scan a 100 TB user would ACTUALLY run — [[q53Profile]]
