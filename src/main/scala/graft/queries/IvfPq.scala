@@ -37,7 +37,15 @@ import graft.sources.Tables
   */
 object IvfPq {
 
-  private def dot(x: Column, y: Column): Column = Similarity.dotBuiltin(x, y)
+  // The codegen'd DotProduct kernel — bit-equal to the builtin
+  // zip_with/aggregate fold (DotProductSpec) and the oracle's
+  // list_reduce; every dot here is a top-level expression (the ADC
+  // lookup-sum fold carries no dots, and encode's argmin is its own
+  // kernel), so nothing forces the interpreted path.
+  private def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
+  }
 
   /** Gate config: coarse quantizer = the [[Similarity.simKmeansIvf]]
     * operating point (k = kmeansCellsForN at gate n, 3 Lloyd

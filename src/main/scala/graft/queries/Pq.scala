@@ -40,12 +40,15 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  // dotBuiltin (zip_with/aggregate double folds), NOT the codegen
-  // DotProduct kernel: every dot here runs inside or next to
-  // higher-order lambdas (the in-row argmin fold), which Catalyst
-  // evaluates interpreted anyway — and the builtin fold is the form
-  // documented bit-equal to the DuckDB oracle's list_reduce.
-  private def dot(x: Column, y: Column): Column = Similarity.dotBuiltin(x, y)
+  // The codegen'd DotProduct kernel — bit-equal to the builtin
+  // zip_with/aggregate fold (DotProductSpec) and to the DuckDB
+  // oracle's list_reduce. Every remaining dot here is a TOP-LEVEL
+  // expression (the in-row argmin fold that once forced interpreted
+  // lambdas is now its own kernel, [[graft.functions.PqArgmin]]).
+  private def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
+  }
 
   /** Gate config: 64-dim embeddings → M=16 subspaces × 4 dims, K=16
     * codewords per subspace (16 half-byte codes = 8 B/vector, 32×
@@ -118,37 +121,44 @@ object Pq {
       .groupBy("m")
       .agg(array_sort(collect_list(col("cand"))).as("cands"))
 
-  /** Squared L2 distance ‖v‖² − 2·v·c + ‖c‖² with the norms
-    * precomputed — the exact double arithmetic the oracle replays.
-    */
-  private def dist2(sv: Column, nv2: Column, cand: Column): Column =
-    nv2 - lit(2.0) * dot(sv, cand("centroid")) + cand("nc2")
-
   /** PQ codes: the nearest codeword per (vector, subspace) — M rows
     * per vector, the compressed representation the ADC scan reads.
     * Every input column rides through (so [[IvfPq]]'s coarse cell id
     * needs no vec-keyed re-join) plus the assigned `cid`.
     *
-    * The argmin is an IN-ROW fold over the broadcast candidate array
-    * in cid order (strict < keeps the lowest cid on ties — the same
-    * (d2, cid) ordering the oracle's row_number replays), so encoding
-    * is scan → broadcast m-join → per-row expressions: NOTHING
-    * shuffles on the vector side, the shape that survives n = 10⁹
-    * (a window/groupBy argmin would shuffle n·M·K scored rows).
+    * The argmin is an IN-ROW kernel over the broadcast candidate array
+    * in cid order ([[graft.functions.PqArgmin]] — strict < keeps the
+    * lowest cid on ties, the same (d2, cid) ordering the oracle's
+    * row_number replays), so encoding is scan → broadcast m-join →
+    * per-row codegen: NOTHING shuffles on the vector side, the shape
+    * that survives n = 10⁹ (a window/groupBy argmin would shuffle
+    * n·M·K scored rows). The kernel replaces the round-11 interpreted
+    * `aggregate` fold bit-identically (PqArgminSpec cross-checks the
+    * two formulations) and removes K interpreted lambda bodies plus a
+    * zipped array allocation per candidate from the n·M hot path.
     */
   def encode(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val withC = subs.join(broadcast(pivoted(codebook)), Seq("m"))
-      .withColumn("nv2", dot(col("sv"), col("sv")))
-    val best = aggregate(col("cands"),
+    val best = Bridge.column(graft.functions.PqArgmin(
+      Bridge.expression(col("sv")), Bridge.expression(col("cands"))))
+    withC.select(col("m") +: subs.columns.filter(_ != "m").map(col).toSeq :+
+      best.as("cid"): _*)
+  }
+
+  /** The round-11 built-ins-only argmin fold — kept as the cross-check
+    * twin for [[encode]]'s kernel (PqArgminSpec pins the two bit-equal
+    * on fuzzed inputs, the [[Similarity.dotBuiltin]] discipline).
+    */
+  private[graft] def argminBuiltin(sv: Column, cands: Column): Column =
+    aggregate(cands,
       struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
       (acc, c) => {
-        val d2 = dist2(col("sv"), col("nv2"), c)
+        val d2 = Similarity.dotBuiltin(sv, sv) -
+          lit(2.0) * Similarity.dotBuiltin(sv, c("centroid")) + c("nc2")
         when(d2 < acc("d2"), struct(d2.as("d2"), c("cid").as("cid")))
           .otherwise(acc)
-      })
-    withC.select(col("m") +: subs.columns.filter(_ != "m").map(col).toSeq :+
-      best("cid").as("cid"): _*)
-  }
+      })("cid")
 
   /** Per-query ADC distance table: d(m, cid) for every codebook entry
     * against the query's OWN full-precision subvectors — M·K rows per
