@@ -34,7 +34,18 @@ object Explain {
         }
       }
     })
+    // job counter: iterative operators (label propagation, Lloyd
+    // rounds) spend their time in CONSTRUCTION-phase actions — the
+    // count separates driver round-trip overhead from plan cost
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     val df = SparkEntry.queries(name)(spark, sfDir)
+    println(s"JOBS at construction: ${jobs.get()}")
     df.explain("formatted")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()

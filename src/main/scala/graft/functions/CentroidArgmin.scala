@@ -7,10 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** PQ code assignment — the argmin of ‖sv − c‖² over a codebook
-  * candidate array — as one native codegen'd kernel.
+/** Nearest-centroid assignment — the argmin of ‖v − c‖² over a
+  * candidate array — as one native codegen'd kernel. Shared by the
+  * two learned quantizers: PQ code assignment ([[graft.queries.Pq
+  * .encode]], v = a subvector against one subspace's codebook) and
+  * k-means cell assignment ([[graft.queries.KmeansIvf.assignCells]],
+  * v = the embedding against the coarse centroids).
   *
-  * Inputs: `sv` (array<float>, the subvector) and `cands`
+  * Inputs: `sv` (array<float>, the vector) and `cands`
   * (array<struct<cid int, centroid array<float>, nc2 double>>, the
   * cid-SORTED broadcast candidate list with precomputed ‖c‖²).
   * Output: the cid of the nearest candidate, −1 on an empty list.
@@ -34,7 +38,7 @@ import org.apache.spark.sql.types._
   * iteration and once for the final code table); at 100 TB this loop
   * IS the PQ encode kernel.
   */
-case class PqArgmin(left: Expression, right: Expression)
+case class CentroidArgmin(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -53,13 +57,13 @@ case class PqArgmin(left: Expression, right: Expression)
     }
     if (okLeft && okRight) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"pq_argmin requires (array<float>, array<struct<int, array<float>, " +
+      s"centroid_argmin requires (array<float>, array<struct<int, array<float>, " +
         s"double>>), got ${left.dataType.catalogString} and " +
         s"${right.dataType.catalogString}")
   }
 
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "pq_argmin"
+  override def prettyName: String = "centroid_argmin"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val sv = a.asInstanceOf[ArrayData]
@@ -140,6 +144,6 @@ case class PqArgmin(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PqArgmin =
+      newLeft: Expression, newRight: Expression): CentroidArgmin =
     copy(left = newLeft, right = newRight)
 }

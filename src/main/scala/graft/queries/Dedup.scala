@@ -1121,15 +1121,17 @@ object Dedup extends QueryModule {
       val neighborMin = e
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
         .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
+      // carry a per-row changed flag through the (eager) checkpoint:
+      // the convergence test is then a predicate scan of the already-
+      // materialized round, not a second labels-vs-next join job —
+      // halves the per-round action count at any scale
       val next = labels.join(neighborMin, "doc_id")
         .select(col("doc_id"),
-          least(col("cluster_id"), col("nmin")).as("cluster_id"))
+          least(col("cluster_id"), col("nmin")).as("cluster_id"),
+          (col("nmin") < col("cluster_id")).as("__chg"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
     }
     e.unpersist()
     (if (converged) Some(labels) else None, rounds)
@@ -1184,8 +1186,13 @@ object Dedup extends QueryModule {
       val next = ss.select(col("x").as("a"), col("y").as("b"))
         .union(ss.select(col("y").as("a"), col("x").as("b")))
         .distinct().localCheckpoint(true)
-      done = next.join(e, Seq("a", "b"), "left_anti").isEmpty &&
-        e.join(next, Seq("a", "b"), "left_anti").isEmpty
+      // set equality as ONE action: both sides are distinct edge sets,
+      // so the union of the two anti-joins is empty iff they are equal
+      // (one job per round instead of two — the frames are already
+      // checkpointed, so each probe is a local scan + broadcast probe)
+      done = next.join(e, Seq("a", "b"), "left_anti")
+        .unionByName(e.join(next, Seq("a", "b"), "left_anti"))
+        .isEmpty
       e = next
     }
     // fixpoint = disjoint stars: non-roots carry exactly one edge to

@@ -55,33 +55,36 @@ object KmeansIvf {
 
   /** Nearest-centroid cell per vector (ties break to the lowest cid).
     *
-    * Formulated as an AGGREGATE argmin — min of the (d2, cid) struct
-    * per vec_id — not a rank-1 window: the cross-joined (vector ×
-    * centroid) rows for one vec_id are contiguous in the scan
-    * partition, so the partial aggregate collapses them map-side and
-    * the exchange carries n ROWS instead of the window form's n·k
-    * (at the cells≈√n rule that is the difference between shuffling
-    * n^1.5 rows and n rows — the dominant assignment cost after
-    * sampled training removed the training term). Result-identical to
-    * [[rankedAssign]]: same d2 doubles, and struct min orders by
-    * (d2, cid) exactly as the window's ORDER BY d2, cid rank 1
-    * (KmeansAssignSpec pins bit-equality; the DuckDB oracles replay
-    * the crossJoin+rank form and keep hash-matching).
+    * Formulated as an IN-ROW argmin over the centroid table pivoted to
+    * ONE broadcast candidate array ([[graft.functions.CentroidArgmin]],
+    * the [[Pq.encode]] kernel): assignment is scan → 1-row broadcast →
+    * per-row codegen — NO aggregate and NO exchange at all. The two
+    * earlier forms each shuffled: the rank-1 window moved n·k scored
+    * rows, and the struct-min aggregate it replaces moved n rows but
+    * planned as a SortAggregate pair (min over a struct is not
+    * hash-aggregable), sorting the n·k cross-join by vec_id in every
+    * partition — the round-12 plan audit found that sort pair repeated
+    * 24× through dd_semdedup's training loop. Result-identical to
+    * [[rankedAssign]]: same ‖v‖²−2·v·c+‖c‖² doubles (left folds), and
+    * the kernel's strict < over the cid-sorted candidates is exactly
+    * the window's ORDER BY d2, cid rank 1 (KmeansAssignSpec pins
+    * bit-equality; the DuckDB oracles replay the crossJoin+rank form
+    * and keep hash-matching).
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("nv2"))
-    val c = broadcast(centroids.select(col("cid"), col("centroid"),
-      dot(col("centroid"), col("centroid")).as("nc2")))
-    v.crossJoin(c)
-      .withColumn("d2",
-        dist2(col("embedding"), col("nv2"), col("centroid"), col("nc2")))
-      .groupBy("vec_id")
-      // first(embedding) is value-deterministic: every row in the
-      // group carries the same vector
-      .agg(min(struct(col("d2"), col("cid"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("m.cid").as("cell"))
+    import org.apache.spark.sql.graft.Bridge
+    val cands = broadcast(centroids
+      .select(struct(col("cid").cast("int").as("cid"), col("centroid"),
+        dot(col("centroid"), col("centroid")).as("nc2")).as("cand"))
+      .agg(array_sort(collect_list(col("cand"))).as("cands")))
+    val cell = Bridge.column(graft.functions.CentroidArgmin(
+      Bridge.expression(col("embedding")), Bridge.expression(col("cands"))))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(cands) // 1-row broadcast model frame
+      // an EMPTY centroid table must yield an empty assignment (the
+      // old cross join's behavior), not cell = −1 everywhere
+      .where(size(col("cands")) > 0)
+      .select(col("vec_id"), col("embedding"), cell.as("cell"))
   }
 
   /** The window-rank formulation of [[assignCells]] — kept as the

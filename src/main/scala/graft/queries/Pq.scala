@@ -44,7 +44,7 @@ object Pq {
   // zip_with/aggregate fold (DotProductSpec) and to the DuckDB
   // oracle's list_reduce. Every remaining dot here is a TOP-LEVEL
   // expression (the in-row argmin fold that once forced interpreted
-  // lambdas is now its own kernel, [[graft.functions.PqArgmin]]).
+  // lambdas is now its own kernel, [[graft.functions.CentroidArgmin]]).
   private def dot(x: Column, y: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
@@ -127,27 +127,27 @@ object Pq {
     * needs no vec-keyed re-join) plus the assigned `cid`.
     *
     * The argmin is an IN-ROW kernel over the broadcast candidate array
-    * in cid order ([[graft.functions.PqArgmin]] — strict < keeps the
+    * in cid order ([[graft.functions.CentroidArgmin]] — strict < keeps the
     * lowest cid on ties, the same (d2, cid) ordering the oracle's
     * row_number replays), so encoding is scan → broadcast m-join →
     * per-row codegen: NOTHING shuffles on the vector side, the shape
     * that survives n = 10⁹ (a window/groupBy argmin would shuffle
     * n·M·K scored rows). The kernel replaces the round-11 interpreted
-    * `aggregate` fold bit-identically (PqArgminSpec cross-checks the
+    * `aggregate` fold bit-identically (CentroidArgminSpec cross-checks the
     * two formulations) and removes K interpreted lambda bodies plus a
     * zipped array allocation per candidate from the n·M hot path.
     */
   def encode(subs: DataFrame, codebook: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val withC = subs.join(broadcast(pivoted(codebook)), Seq("m"))
-    val best = Bridge.column(graft.functions.PqArgmin(
+    val best = Bridge.column(graft.functions.CentroidArgmin(
       Bridge.expression(col("sv")), Bridge.expression(col("cands"))))
     withC.select(col("m") +: subs.columns.filter(_ != "m").map(col).toSeq :+
       best.as("cid"): _*)
   }
 
   /** The round-11 built-ins-only argmin fold — kept as the cross-check
-    * twin for [[encode]]'s kernel (PqArgminSpec pins the two bit-equal
+    * twin for [[encode]]'s kernel (CentroidArgminSpec pins the two bit-equal
     * on fuzzed inputs, the [[Similarity.dotBuiltin]] discipline).
     */
   private[graft] def argminBuiltin(sv: Column, cands: Column): Column =

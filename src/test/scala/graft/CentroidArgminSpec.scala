@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
-import graft.functions.PqArgmin
+import graft.functions.CentroidArgmin
 import graft.queries.Pq
 
 /** The native PQ argmin kernel is bit-equal to the built-ins-only
@@ -12,10 +12,10 @@ import graft.queries.Pq
   * candidate array), on crafted ties, and on the degenerate inputs
   * (empty candidate list, length-mismatched centroid).
   */
-class PqArgminSpec extends SparkSpec {
+class CentroidArgminSpec extends SparkSpec {
 
   private def native(sv: Column, cands: Column) =
-    Bridge.column(PqArgmin(Bridge.expression(sv), Bridge.expression(cands)))
+    Bridge.column(CentroidArgmin(Bridge.expression(sv), Bridge.expression(cands)))
 
   private def candsOf(pairs: Seq[(Int, Array[Float])]): Column =
     array(pairs.map { case (cid, cen) =>

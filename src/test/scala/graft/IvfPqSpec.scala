@@ -145,36 +145,40 @@ class IvfPqSpec extends SparkSpec {
       .map(_.split(",\\s*").toList.dropRight(1)
         .map(_.takeWhile(_ != '#')))
     assert(keyLists.nonEmpty && keyLists.forall(k =>
-      k == List("vec_id") || k == List("query_id") || k == List("m")),
-      s"only the argmin/rank windows (and the tiny codebook pivot) may " +
-        s"exchange, got $keyLists:\n$p")
+      k == List("vec_id") || k == List("query_id") || k == List("m") ||
+        k == List("query_id", "vec_id", "cell")),
+      s"only the rank windows, the tiny codebook pivot, and the " +
+        s"probed-candidate ADC aggregate may exchange, got $keyLists:\n$p")
   }
 
-  test("plan: model joins broadcast; the ADC aggregate adds NO new shuffle") {
+  test("plan: model joins broadcast; the vector stream never shuffles pre-ADC") {
     val p = IvfPq.simIvfPq(spark, sfDir).queryExecution.executedPlan.toString
     // the coarse centroid passes are broadcast loops (KmeansIvf.ranked);
     // codebook + distance-table joins broadcast; nothing sort-merges
     assert(!p.contains("SortMergeJoin"), s"no merge join anywhere:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
-    // stronger than sim_pq's shape: every hash exchange keys on either
-    // vec_id (the coarse-assignment argmin windows) or query_id (the
-    // rank window). In particular there is NO exchange for the ADC
-    // lookup-sum — hashpartitioning(vec_id) from the assignment window
-    // already clusters (query_id, vec_id, cell), because the query
-    // side of the candidate join is broadcast and a vector's M code
-    // rows never leave its partition — and none keyed (vec_id, m)
-    // (scored-candidate shuffle, the shape that dies at 10⁹)
+    // every hash exchange keys on query_id (the rank window), m (the
+    // M·K-row codebook pivot — a 256-row model-side exchange, never
+    // the vector stream), vec_id (the query-side probe window), or
+    // (query_id, vec_id, cell) — the ADC lookup-sum aggregate, whose
+    // input the probed-cell broadcast join has ALREADY cut to the
+    // query-candidate set (queries × probes × |cell| × M rows, not
+    // n·M: the round-12 argmin-kernel rewrite removed the assignment
+    // aggregate's n-row exchange this aggregate used to piggyback on).
+    // In particular nothing keys (vec_id, m) — the scored-candidate
+    // shuffle, the shape that dies at 10⁹
     val keyLists = "Exchange hashpartitioning\\(([^)]+)\\)".r
       .findAllMatchIn(p).map(_.group(1)).toList
       .map(_.split(",\\s*").toList.dropRight(1) // last element = #partitions
         .map(_.takeWhile(_ != '#')))
-    // "m" = the M·K-row codebook pivot feeding its own broadcast — a
-    // 256-row model-side exchange, never the vector stream
     assert(keyLists.nonEmpty && keyLists.forall(k =>
-      k == List("vec_id") || k == List("query_id") || k == List("m")),
-      s"only the argmin/rank windows (and the tiny codebook pivot) may " +
-        s"exchange, got $keyLists:\n$p")
+      k == List("vec_id") || k == List("query_id") || k == List("m") ||
+        k == List("query_id", "vec_id", "cell")),
+      s"only the rank windows, the tiny codebook pivot, and the " +
+        s"probed-candidate ADC aggregate may exchange, got $keyLists:\n$p")
     assert(p.contains("ObjectHashAggregate"),
       s"expected the collect_list ADC fold aggregate:\n$p")
+    assert(p.contains("centroid_argmin"),
+      s"expected the codegen argmin assignment kernel:\n$p")
   }
 }
