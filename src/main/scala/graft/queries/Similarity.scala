@@ -294,7 +294,17 @@ object Similarity extends QueryModule {
       .select(col("cell"), col("vec_id"), col("embedding").as("ec"), col("norm").as("nc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_exact").desc, col("vec_id"))
-    q.join(c, Seq("cell"))
+    // the probe side is the QUERY SET × probes — bounded by design
+    // (a search serves a request batch, never the corpus; the gate
+    // pins 20 ids, calibration 40) — but the planner cannot estimate
+    // that through the probe window, so without the hint it
+    // sort-merge-joined, exchanging and sorting the ENTIRE assigned
+    // corpus by cell. Broadcasting the probe frame makes serving
+    // scan → broadcast probe join → per-row cosine → partial
+    // window-limit → a top-3-per-query-sized exchange: the corpus
+    // never shuffles (guide §3.1: explicit hint where estimates are
+    // blind after filters/windows)
+    broadcast(q).join(c, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("cos_exact", dot(col("eq"), col("ec")) / (col("nq") * col("nc")))
       .withColumn("rank", row_number().over(w))
@@ -486,7 +496,15 @@ object Similarity extends QueryModule {
       case None => b0
     }
     val w = Window.partitionBy("vec_id").orderBy(col("cos_exact").desc, col("nbr_id"))
-    a.join(b, Seq("cell"))
+    // shuffle_hash (the [[Dedup.pairCounts]] discipline): both sides
+    // of the cell self-join are corpus-sized, so Spark would
+    // sort-merge — but the downstream rank windows key on vec_id, so
+    // the cell sorts buy nothing; a shuffled hash join keeps the same
+    // two cell-keyed exchanges and drops both sorts. The build side's
+    // per-partition footprint is its cells' membership — √n per cell
+    // under the cells≈√n rule, and bounded by [[KnnCandCap]] exactly
+    // where skew would break that expectation
+    a.join(b.hint("shuffle_hash"), Seq("cell"))
       .where(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos_exact", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))

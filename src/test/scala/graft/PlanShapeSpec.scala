@@ -373,19 +373,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"mixture selection must not join:\n$p")
   }
 
-  test("sim_kmeans_ivf: centroid joins broadcast; the only merge join is on the cell key") {
+  test("sim_kmeans_ivf: centroid joins broadcast; the corpus never shuffles for serving") {
     val p = plan("sim_kmeans_ivf")
     // both centroid passes (multi-probe on the queries, assignment on
-    // the corpus) must be broadcast loop joins over the k-row centroid
-    // table — a map-side loop, never a shuffle of the vector side
+    // the corpus) must be broadcast loop joins over the k-row model —
+    // a map-side loop, never a shuffle of the vector side (assignment
+    // rides the 1-row pivoted-candidate frame + the argmin kernel)
     val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(loops == 2, s"expected 2 broadcast centroid loops, got $loops:\n$p")
-    // candidate generation is an equi-join on the compact CELL key; a
-    // SortMergeJoin keyed on anything vector-shaped (vec_id/embedding)
-    // would mean the quantizer degenerated to pairwise comparison
-    val smj = "SortMergeJoin \\[([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toList
-    assert(smj.forall(_ == "cell"),
-      s"every merge join must key on the cell, got $smj:\n$p")
+    // candidate generation broadcasts the bounded probe-query frame
+    // into the assigned corpus: no SortMergeJoin anywhere — the SMJ
+    // formulation exchanged and sorted the ENTIRE corpus by cell to
+    // meet a ≤(queries × probes)-row frame
+    assert(!p.contains("SortMergeJoin"),
+      s"the probe-side join must broadcast, not sort-merge:\n$p")
+    assert(p.contains("centroid_argmin"),
+      s"assignment must ride the codegen argmin kernel:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
   }
 
