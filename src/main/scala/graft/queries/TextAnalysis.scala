@@ -275,12 +275,17 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("doc_id"),
         graft.functions.RepSig.of(col("text")).getField("n_tokens").as("n_tokens"),
         coin.as("coin"), rate.as("rate"))
-      .groupBy("source")
-      .agg(max("rate").as("rate"),
-        count(lit(1)).as("n_docs_total"),
+      // rate is a pure function of source, so (source, rate) groups
+      // are identical to source groups — and dropping the max(rate)
+      // STRING-buffer aggregate lets the manifest plan as a codegen
+      // HashAggregate instead of a SortAggregate pair (see
+      // [[taMixtureCore]])
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_docs_total"),
         sum(when(col("coin") < col("rate"), 1L).otherwise(0L)).as("n_docs_kept"),
         sum(when(col("coin") < col("rate"), col("n_tokens").cast("long"))
           .otherwise(0L)).as("n_tokens_kept"))
+      .select("source", "rate", "n_docs_total", "n_docs_kept", "n_tokens_kept")
       .orderBy("source")
   }
 
@@ -314,12 +319,20 @@ object TextAnalysis extends QueryModule {
         coin.as("coin"))
       .join(broadcast(rates), Seq("source"), "left")
       .withColumn("rate", coalesce(col("rate"), lit("0000")))
-      .groupBy("source")
-      .agg(max("rate").as("rate"),
-        count(lit(1)).as("n_docs_total"),
+      // rate is functionally determined by source (one row per source
+      // in the weights table; the inline variant derives it from the
+      // source string), so grouping by BOTH yields identical groups —
+      // and drops the max(rate) aggregate whose STRING buffer forced
+      // the whole aggregate to a SortAggregate pair (sorting the doc
+      // stream by source per partition); string group KEYS hash fine,
+      // so the long-only buffers now plan as codegen HashAggregates
+      // with map-side partials
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_docs_total"),
         sum(when(col("coin") < col("rate"), 1L).otherwise(0L)).as("n_docs_kept"),
         sum(when(col("coin") < col("rate"), col("n_tokens").cast("long"))
           .otherwise(0L)).as("n_tokens_kept"))
+      .select("source", "rate", "n_docs_total", "n_docs_kept", "n_tokens_kept")
       .orderBy("source")
   }
 
