@@ -35,7 +35,12 @@ object PlanAudit {
           "BroadcastNestedLoopJoin", "CartesianProduct")
           .map(j => j -> c(j)).filter(_._2 > 0)
           .map { case (j, n) => s"$j:$n" }.mkString(",")
-        println(s"$name exchanges=${c("Exchange")} joins=[$joins] " +
+        // `\bExchange` counts only shuffle exchanges (no word boundary
+        // inside BroadcastExchange/ReusedExchange); ReusedExchange is
+        // counted separately so a big number here reads as plan-tree
+        // REUSE, not extra shuffles.
+        println(s"$name exchanges=${c("Exchange")} reusedEx=${c("ReusedExchange")} " +
+          s"bcastEx=${c("BroadcastExchange")} joins=[$joins] " +
           s"sortAgg=${c("SortAggregate")} objAgg=${c("ObjectHashAggregate")} " +
           s"expand=${c("Expand")} window=${c("Window")}")
         spark.catalog.clearCache()

@@ -190,17 +190,38 @@ object MediaPipeline {
     */
   def pixelStats(bytes: Array[Byte]): Option[(Int, Int, Long, Int, Int)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // MemoryCacheImageInputStream, same reason as [[decodeImage]] /
+      // [[resizeImage]]: the bare ImageIO.read(InputStream) form spools
+      // every payload through a DISK-backed FileCacheImageInputStream
+      // (ImageIO.getUseCache defaults true) — a temp-file
+      // create/write/delete cycle per row whose tmpdir metadata + random
+      // temp-name generation serialize under concurrency (this query
+      // measured 6× SLOWER at 32 cores than at 8). The payload is
+      // already in memory; decode it there.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream on success but
+      // not on a null return — swallow the double-close (see resizeImage)
+      val img =
+        try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
       if (img == null) None
       else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // one bulk getRGB per row instead of one call per pixel: the
+        // same default-sRGB conversion path, identical values, without
+        // w·h ColorModel dispatches
+        val row = new Array[Int](w)
         var sum = 0L
         var mn = 255
         var mx = 0
         var y = 0
-        while (y < img.getHeight) {
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
+          while (x < w) {
+            val rgb = row(x)
             val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
             sum += r + g + b
             mn = math.min(mn, math.min(r, math.min(g, b)))
@@ -209,7 +230,7 @@ object MediaPipeline {
           }
           y += 1
         }
-        Some((img.getWidth, img.getHeight, sum, mn, mx))
+        Some((w, h, sum, mn, mx))
       }
     } catch { case _: Exception => None }
 

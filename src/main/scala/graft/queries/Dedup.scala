@@ -917,9 +917,12 @@ object Dedup extends QueryModule {
     // persist: the window stream feeds the hot-gram build AND the final
     // join — one tokenize+md5 pass instead of two. Released before
     // return — see [[settled]].
-    val grams = t.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(__w) - $DupSpanK), " +
-          s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))")).as("gh"))
+    // fused k-window md5 kernel: one joined byte stream per doc, one
+    // md5 per window — replaces the per-window slice/array_join/md5
+    // transform (three allocations per window). Bit-identical hex
+    // (GramMd5Spec fuzz vs the staged builtin form).
+    val grams = t.select(col("doc_id"),
+        explode(graft.functions.GramMd5.of(col("__w"), DupSpanK)).as("gh"))
       .persist()
     grams.count()
     settled(dupSpanManifest(grams), grams)
@@ -974,9 +977,9 @@ object Dedup extends QueryModule {
           x => x =!= "").as("__w"))
       .where(size(col("__w")) >= DupSpanK)
     // positional window stream: (doc_id, i, gh), i = 0-based start token
-    val grams = t.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(__w) - $DupSpanK), " +
-          s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))"))
+    // (fused gram_md5 kernel — see dupSpans)
+    val grams = t.select(col("doc_id"),
+        posexplode(graft.functions.GramMd5.of(col("__w"), DupSpanK))
         .as(Seq("i", "gh")))
       .persist()
     grams.count()
@@ -1028,9 +1031,9 @@ object Dedup extends QueryModule {
       filter(graft.functions.ByteSplit.split(col("text")),
         x => x =!= "").as("__w"))
     val grams = t.where(size(col("__w")) >= DupSpanK)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(__w) - $DupSpanK), " +
-          s"i -> md5(array_join(slice(__w, i + 1, $DupSpanK), ' ')))"))
+      .select(col("doc_id"),
+        // fused gram_md5 kernel — see dupSpans
+        posexplode(graft.functions.GramMd5.of(col("__w"), DupSpanK))
         .as(Seq("i", "gh")))
       .persist()
     grams.count()
@@ -1088,12 +1091,14 @@ object Dedup extends QueryModule {
       .getOrElse(starLabels(pairs)._1)
 
   /** Propagation-round budget before [[clusterPairs]] switches to the
-    * star contraction: quasi-clique dedup components converge in 2-4
-    * rounds, so 10 is already 2-3× slack; past it the graph is
-    * chain-shaped and each further propagation round advances the min
-    * label by ONE hop while a star round roughly halves every chain.
+    * star contraction. A round is one MATERIALIZATION carrying TWO
+    * propagation hops (see [[propagateLabels]]), so the budget is the
+    * same 10 hops as before the fusion: quasi-clique dedup components
+    * converge in 2-4 hops, so 10 is already 2-3× slack; past it the
+    * graph is chain-shaped and each further hop advances the min label
+    * by ONE edge while a star round roughly halves every chain.
     */
-  private[graft] val MaxPropagationRounds = 10
+  private[graft] val MaxPropagationRounds = 5
 
   /** Min-label propagation to fixpoint, bounded: returns
     * (Some(labels), rounds) on convergence within `maxRounds`, else
@@ -1116,19 +1121,33 @@ object Dedup extends QueryModule {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
+    // min label over each node's neighborhood under labeling `l`
+    def neighborMin(l: DataFrame, out: String): DataFrame = e
+      .join(l.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
+      .groupBy(col("a").as("doc_id")).agg(min("nl").as(out))
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val neighborMin = e
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
-        .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
+      // TWO propagation hops per materialization — half the driver
+      // round trips (checkpoint + convergence probe) for the same
+      // shuffle volume. hop1 is a plain subplan (labels and e are
+      // cached leaves, so its double reference re-reads blocks, not
+      // lineage). Equivalence: with m = hop1's labeling,
+      //   least(l(v), min_{u∈N(v)} m(u)) = least(m(v), min_{u∈N(v)} m(u))
+      // because m(v) = least(l(v), min_{u∈N(v)} l(u)) and
+      // min_u m(u) ≤ min_u l(u) — so `next` IS the exact 2-hop label.
+      val hop1 = labels.join(neighborMin(labels, "nmin"), "doc_id")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nmin")).as("cluster_id"))
       // carry a per-row changed flag through the (eager) checkpoint:
       // the convergence test is then a predicate scan of the already-
-      // materialized round, not a second labels-vs-next join job —
-      // halves the per-round action count at any scale
-      val next = labels.join(neighborMin, "doc_id")
+      // materialized round, not a labels-vs-next join job. The flag
+      // sees BOTH hops: labels decrease monotonically, and a hop-1
+      // change at u forces nmin2(u) ≤ hop1(w*) < l(u) via u's changed
+      // neighbor w*, so no hop-1 change can hide behind a quiet hop 2.
+      val next = labels.join(neighborMin(hop1, "nmin2"), "doc_id")
         .select(col("doc_id"),
-          least(col("cluster_id"), col("nmin")).as("cluster_id"),
-          (col("nmin") < col("cluster_id")).as("__chg"))
+          least(col("cluster_id"), col("nmin2")).as("cluster_id"),
+          (col("nmin2") < col("cluster_id")).as("__chg"))
         .localCheckpoint(true)
       converged = next.where(col("__chg")).isEmpty
       labels = next.select("doc_id", "cluster_id")
@@ -1156,10 +1175,14 @@ object Dedup extends QueryModule {
     * reads off directly. Returns (labels, rounds).
     */
   private[graft] def starLabels(pairs: DataFrame): (DataFrame, Int) = {
+    // LAZY initial checkpoint: round 1's eager `next` checkpoint
+    // computes every partition of this edge set anyway (the small-star
+    // aggregate shuffles all of it), so the deferred materialization
+    // costs no extra job — one driver action saved vs eager.
     var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var rounds = 0
     var done = false
     while (!done) {
@@ -1172,9 +1195,13 @@ object Dedup extends QueryModule {
         .join(minsL, "a")
         .where(col("b") =!= col("m"))
         .select(col("b").as("x"), col("m").as("y"))
+      // LAZY checkpoint, same rationale as the initial edge set: the
+      // small-star step references this twice (the lineage cut is what
+      // matters), and `next`'s eager checkpoint job materializes all
+      // of its partitions — eager here only added a driver action.
       val afterLarge = ls.select(col("x").as("a"), col("y").as("b"))
         .union(ls.select(col("y").as("a"), col("x").as("b")))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
       // SMALL-STAR: (v, m(u)) for every neighbor v < u plus (u, m(u)),
       // m(u) = min of the smaller neighbors
       val smaller = afterLarge.where(col("b") < col("a"))

@@ -36,6 +36,16 @@ object Similarity extends QueryModule {
     Bridge.column(graft.functions.DotProduct(Bridge.expression(x), Bridge.expression(y)))
   }
 
+  /** Native codegen'd dot product over array<double> inputs
+    * ([[graft.functions.DotProductDouble]]); bit-equal to [[dotBuiltin]]
+    * on double arrays (cross-checked in DotProductSpec).
+    */
+  private def dotD(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.DotProductDouble(
+      Bridge.expression(x), Bridge.expression(y)))
+  }
+
   /** Built-ins-only formulation (two interpreted lambdas per element);
     * kept as the cross-check and the no-custom-code fallback.
     */
@@ -581,14 +591,14 @@ object Similarity extends QueryModule {
         transform(col("embedding"),
           x => round(x.cast("double") / col("scale")) * col("scale")).as("dq"))
       .select(col("vec_id"), col("dq"),
-        sqrt(dotBuiltin(col("dq"), col("dq"))).as("norm"))
+        sqrt(dotD(col("dq"), col("dq"))).as("norm"))
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("dq").as("eq"), col("norm").as("nq"))
     val c = e.select(col("vec_id"), col("dq").as("ec"), col("norm").as("nc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("vec_id"))
     q.join(c, col("query_id") =!= col("vec_id"))
-      .withColumn("qcos", dotBuiltin(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("qcos", dotD(col("eq"), col("ec")) / (col("nq") * col("nc")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("vec_id"),

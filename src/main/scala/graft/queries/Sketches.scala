@@ -211,21 +211,19 @@ object Sketches extends QueryModule {
     * in-row — shared by [[winnowCore]] (the fingerprint manifest) and
     * [[ddWinnowPairs]] (the blocking join built on it).
     */
-  private[graft] def winnowSelected(d: DataFrame): DataFrame = {
-    val W = WinnowWindow
+  private[graft] def winnowSelected(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-        transform(graft.functions.WordShingles.of(col("text")),
-          g => conv(substring(md5(concat(lit("graft-wn|"), g)), 1, 8), 16, 10)
-            .cast("long")).as("hs"))
+        // fused gram-hash kernel: one byte pass + one md5 per gram —
+        // replaces word_shingles → per-gram concat/md5/substring/conv
+        // (five allocations and a hex reparse per gram). Bit-identical
+        // (WinnowKernelSpec fuzz vs the staged builtin form).
+        graft.functions.WinnowHashes.of(col("text")).as("hs"))
       .withColumn("nh", size(col("hs")))
-      .withColumn("sel", array_sort(array_distinct(transform(
-        sequence(lit(1), greatest(col("nh") - lit(W - 1), lit(1))),
-        j => {
-          val e = least(j + lit(W - 1), col("nh"))
-          val sub = slice(col("hs"), j, e - j + lit(1))
-          e + lit(1) - array_position(reverse(sub), array_min(sub))
-        }))))
-  }
+      // in-place rightmost-min window selection — replaces the
+      // slice+reverse+array_min+array_position transform (two array
+      // copies per window). Bit-identical (WinnowKernelSpec).
+      .withColumn("sel",
+        graft.functions.WinnowSelect.of(col("hs"), WinnowWindow))
 
   /** Winnowing over any (doc_id, text) frame, for SketchesSpec's
     * crafted-fixture guarantee checks.

@@ -570,21 +570,35 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .persist()
     big.count()
-    val vocab = t.select(explode(col("__w")).as("x"))
+    // vocab from the PERSISTED bigram stream, not a second tokenize
+    // pass over t: every doc here has ≥ 2 tokens, so each token sits in
+    // w1 (positions 1..n−1) or w2 (positions 2..n) of some bigram — the
+    // distinct-value SET is identical (countDistinct ignores
+    // multiplicity), and the scan reads the settled cache instead of
+    // re-running tokenize+explode over the corpus.
+    val vocab = big.select(col("w1").as("x"))
+      .union(big.select(col("w2").as("x")))
       .agg(countDistinct(col("x")).as("v"))
-    // persist: the per-doc scores feed the histogram, the total count,
+    // persist: the per-doc scores feed the histogram-derived thresholds
     // AND the final bucket projection — without this the bigram scoring
-    // join re-runs three times (and drags the vocab broadcast with it)
+    // join re-runs (and drags the vocab broadcast with it)
     val scored = pplScore(big, vocab).persist()
     scored.count()
     big.unpersist()
     val h = scored.groupBy(floor(col("score") * 100).as("bin"))
       .agg(count(lit(1)).as("n"))
-    val cum = h.withColumn("cum",
-      sum(col("n")).over(Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val th = cum.crossJoin(broadcast(scored.agg(count(lit(1)).as("tot"))))
-      .agg(
+    // `tot` from the histogram itself (Σ n over bins ≡ count of scored
+    // rows — every row lands in exactly one bin) instead of a second
+    // full scan of scored: both frames ride the SAME single-partition
+    // bounded-bin window, so the threshold derivation is one action
+    // over one subtree.
+    val byBin = Window.orderBy("bin")
+    val cum = h
+      .withColumn("cum", sum(col("n")).over(
+        byBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("n")).over(
+        byBin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val th = cum.agg(
         min(when(col("cum") >= expr("(tot + 2) div 3"), col("bin"))).as("t1"),
         min(when(col("cum") >= expr("(2 * tot + 2) div 3"), col("bin"))).as("t2"))
     val out = scored.crossJoin(broadcast(th))

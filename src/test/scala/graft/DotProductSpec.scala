@@ -51,4 +51,46 @@ class DotProductSpec extends SparkSpec {
     val r = df.collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  private def nativeD(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    Bridge.column(graft.functions.DotProductDouble(
+      Bridge.expression(x), Bridge.expression(y)))
+
+  test("double variant is bit-equal to the builtin fold on dequantized vectors") {
+    // the sim_int8_topk shape: dq = round(x/scale)·scale doubles
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 20)
+      .withColumn("scale",
+        org.apache.spark.sql.functions.array_max(
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => org.apache.spark.sql.functions.abs(x.cast("double")))) / 127.0)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => org.apache.spark.sql.functions.round(x.cast("double") / col("scale"))
+            * col("scale")).as("dq"))
+    val a = e.select(col("vec_id").as("ia"), col("dq").as("da"))
+    val b = e.select(col("vec_id").as("ib"), col("dq").as("db"))
+    val rows = a.crossJoin(b).select(
+      nativeD(col("da"), col("db")).as("nat"),
+      Similarity.dotBuiltin(col("da"), col("db")).as("ref")).collect()
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "must be BIT-equal")
+    }
+  }
+
+  test("double variant: mismatched lengths and null arrays give null") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0)))
+      .toDF("x", "y")
+      .select(nativeD(col("x"), col("y")).as("nat"),
+        Similarity.dotBuiltin(col("x"), col("y")).as("ref"))
+    val r = df.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("x", "y")
+      .select(nativeD(col("x"), col("y")).as("d"))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
 }
