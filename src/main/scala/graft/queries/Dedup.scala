@@ -105,7 +105,7 @@ object Dedup extends QueryModule {
     */
   def ddExact(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
-      .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .groupBy(graft.functions.CanonFp.of(col("text")).as("fingerprint"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("fingerprint")
 
@@ -122,7 +122,7 @@ object Dedup extends QueryModule {
     */
   def ddIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val fp = graft.functions.CanonFp.of(col("text"))
     val history = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
       .select(fp.as("fingerprint")).distinct()
     val batch = docs.where(pmod(col("doc_id"), lit(4)) === 0)
@@ -158,7 +158,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def bloomGateCore(docs: DataFrame): DataFrame = {
     val ks = explode(sequence(lit(0), lit(Sketches.BloomHashes - 1))).as("k")
-    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val fp = graft.functions.CanonFp.of(col("text"))
     val history = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
       .select(fp.as("fingerprint")).distinct()
     val bits = history.select(ks, col("fingerprint"))
@@ -264,6 +264,18 @@ object Dedup extends QueryModule {
     // before return — see [[settled]].
     val sig = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
     sig.count() // eager materialization — see ngramJaccard's barrier note
+    try minhashLshFrom(sig) finally sig.unpersist()
+  }
+
+  /** [[ddMinhashLsh]]'s whole derivation over an ALREADY-SETTLED
+    * (doc_id, sh) frame, so a composing pipeline
+    * ([[ddPipelineManifest]]) can share ONE staged shingle pass between
+    * this and its other shingle consumers instead of re-running
+    * tokenize+shingle per stage. Returns the settled (persisted,
+    * materialized) pair frame; `sig` stays persisted — the caller owns
+    * its release.
+    */
+  private[graft] def minhashLshFrom(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
       // persist + eager count: okBands, the semi-join probe, and both
       // self-join branches all read this tiny (n·Bands rows) table —
@@ -302,7 +314,7 @@ object Dedup extends QueryModule {
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"),
           round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
-      sig, bands)
+      bands)
   }
 
   /** SimHash (16-bit, md5-nibble hyperplanes): per token, each hex digit
@@ -1435,7 +1447,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def manifestOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"),
-      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+      graft.functions.CanonFp.of(col("text")).as("fingerprint"))
     val exact = fp.join(
         fp.groupBy("fingerprint").agg(min("doc_id").as("__xk")), "fingerprint")
       .select(col("doc_id"), (col("doc_id") =!= col("__xk")).as("__exact_drop"))
@@ -1787,13 +1799,24 @@ object Dedup extends QueryModule {
     * PipelineSpec's crafted fixture fires all seven, exact included.
     */
   def ddPipelineManifest(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ddMinhashLsh(s, dir).select("doc_a", "doc_b", "jaccard")
-    val lexHits = contam(shingled(s, dir), broadcastTest = false)
+    // ONE staged shingle pass feeds BOTH shingle consumers — the
+    // minhash near-dup derivation and the lexical contamination screen
+    // previously each re-ran tokenize+shingle over the corpus
+    // (ddMinhashLsh's internal stage was released before contam's
+    // action fired). Same settle/release discipline as [[settled]]'s
+    // other callers: the pipeline's own manifest is the only cached
+    // frame left behind.
+    val staged = shingled(s, dir).select(col("doc_id"), col("sh")).persist()
+    staged.count()
+    val pairs = minhashLshFrom(staged).select("doc_a", "doc_b", "jaccard")
+    val lexHits = contam(staged, broadcastTest = false)
       .select(col("doc_id"), col("contam_ratio"))
     val sem = contamEmbed(Tables(s, dir).embeddings, ContamBothEvalMod)
       .select(col("vec_id").as("doc_id"))
-    pipelineCore(graft.core.FanOut(Tables(s, dir).documents), pairs,
-      lexHits, sem, PipelineDomainQuota)
+    settled(
+      pipelineCore(graft.core.FanOut(Tables(s, dir).documents), pairs,
+        lexHits, sem, PipelineDomainQuota),
+      staged, pairs)
   }
 
   /** Core of [[ddPipelineManifest]] over explicit stage inputs, so the
@@ -1805,7 +1828,7 @@ object Dedup extends QueryModule {
   private[graft] def pipelineCore(docs: DataFrame, pairs: DataFrame,
       lexHits: DataFrame, semFlagged: DataFrame, quota: Int): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(ContamBothEvalMod)) === 0
-    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val fp = graft.functions.CanonFp.of(col("text"))
     val base = docs.select(col("doc_id"), col("source"),
       isEval.as("holdout"), fp.as("f"))
     // exact: ddExact's min-per-fingerprint-group keeper, train side only

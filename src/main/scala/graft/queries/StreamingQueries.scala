@@ -1041,7 +1041,7 @@ object StreamingQueries extends QueryModule {
           round(Dedup.dot(col("emb"), ev.getField("emb")) /
             (col("nrm") * ev.getField("nrm")), 6) >= Dedup.ContamEmbedTau),
         lit(false)))
-      .withColumn("fp", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("fp", graft.functions.CanonFp.of(col("text")))
       .withColumn("holdout",
         pmod(col("doc_id"), lit(Dedup.ContamBothEvalMod)) === 0)
       .withColumn("__sig",

@@ -120,7 +120,7 @@ object TextAnalysis extends QueryModule {
   def taFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+        graft.functions.CanonFp.of(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
   /** Rabin–Karp polynomial rolling hash: h ← (h·31 + code(c)) mod 1e9+7

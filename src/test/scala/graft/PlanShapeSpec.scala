@@ -591,7 +591,26 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dd_pipeline_manifest: no cartesian, one survivor window, broadcast hit frames") {
-    val p = plan("dd_pipeline_manifest")
+    // the oracled query settles (persists) its manifest, which hides
+    // the topology behind an InMemoryRelation's adaptive plan — assert
+    // on the UNPERSISTED core with the same wiring instead (the
+    // dupSpanManifest pattern)
+    import org.apache.spark.sql.functions._
+    val D = graft.queries.Dedup
+    val staged = D.shingleDocs(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select(col("doc_id"), col("sh"))
+    val pairs = D.minhashLshFrom(staged).select("doc_a", "doc_b", "jaccard")
+    val lexHits = D.contam(staged, broadcastTest = false)
+      .select(col("doc_id"), col("contam_ratio"))
+    val sem = D.contamEmbed(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), D.ContamBothEvalMod)
+      .select(col("vec_id").as("doc_id"))
+    val p = D.pipelineCore(
+        spark.read.parquet(s"$sfDir/documents.parquet"), pairs, lexHits, sem,
+        D.PipelineDomainQuota)
+      .queryExecution.executedPlan.toString
+    pairs.unpersist()
     // no unbounded pair blowup anywhere in the 7-stage composition
     assert(!p.contains("CartesianProduct"), s"cartesian in the pipeline:\n$p")
     // the two BroadcastNestedLoopJoins are contamEmbed's deliberate
