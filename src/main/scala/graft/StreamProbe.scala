@@ -32,6 +32,7 @@ object StreamProbe {
     }
     val progress = name match {
       case "st_join" | "st_join_rocksdb" => queries.StreamingQueries.lastJoinProgress
+      case "st_wc_update" => queries.StreamingQueries.lastWcProgress
       case "st_dedup" | "st_dedup_rocksdb" => queries.StreamingQueries.lastDedupProgress
       case "st_tws_count" => queries.StreamingQueries.lastTwsProgress
       case "st_tws_ttl" => queries.StreamingQueries.lastTtlProgress

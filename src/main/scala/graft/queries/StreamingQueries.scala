@@ -312,6 +312,12 @@ object StreamingQueries extends QueryModule {
     * hash-equal the batch word count. Per-trigger output is
     * O(changed keys), driver holds nothing.
     */
+  /** Progress JSON of the most recent [[stWcUpdate]] run, for
+    * StreamProbe's per-batch cost decomposition (same contract as
+    * [[lastJoinProgress]]).
+    */
+  @volatile private[graft] var lastWcProgress: Seq[String] = Nil
+
   def stWcUpdate(s: SparkSession, dir: String): DataFrame = {
     val srcDir = freshDir("st_wc_update/src")
     s.read.parquet(s"$dir/documents.parquet")
@@ -334,7 +340,10 @@ object StreamingQueries extends QueryModule {
           .write.mode("append").parquet(deltaDir)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      lastWcProgress = q.recentProgress.toSeq.map(_.json)
+    } finally q.stop()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("word").orderBy(col("batch_id").desc)
     s.read.parquet(deltaDir)
@@ -466,6 +475,16 @@ object StreamingQueries extends QueryModule {
     ns.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // Stream-stream join state format v3 (Spark 4): ONE RocksDB store
+    // with virtual column families instead of FOUR stores per
+    // partition — the StreamProbe decomposition shows join-state
+    // commit cost is per-store FIXED (a 55-row state commit costs the
+    // same as 40k rows), so quartering the store count quarters the
+    // per-batch commit overhead at any scale. RocksDB-only (the heap
+    // twin stays v2 — v3 is unsupported there), read at stream start,
+    // checkpoint-scoped; results are format-invisible and the same
+    // q29 batch oracle gates them.
+    ns.conf.set("spark.sql.streaming.join.stateFormatVersion", "3")
     ns
   }
 
